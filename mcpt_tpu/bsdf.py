@@ -1,0 +1,326 @@
+"""GGX microfacet BSDF: sample / pdf / eval / fresnel / refract, branchless.
+
+Functional transcription of the *math* of the reference `src/Material.hpp`
+(every formula cited below), evaluated as masked lane-parallel array code: all
+four material types are computed for every lane and combined with
+``jnp.where`` — no data-dependent branching, so XLA fuses the whole shading
+stage into the wavefront loop.
+
+Faithfulness notes (kept bit-for-bit deliberately; these define the
+reference's look even where they deviate from Walter et al.):
+- D_GGX uses ``alpha + tan²θ`` (not alpha²) inside the square
+  (Material.hpp:26-34),
+- eval's Smith G is evaluated around the *half-vector* h, not the macro
+  normal (Material.hpp:348,365),
+- the rough-refraction BTDF is Walter eq. 21 with the reference's sign/abs
+  placement (Material.hpp:354-372),
+- smooth materials have Dirac pdf/eval with a ``h·n > 1-EPSILON`` gate
+  (Material.hpp:311-328, 375-404),
+- dispersion is 2-term Cauchy ``ior = A + B/λ²`` with λ in micrometers
+  (Material.hpp:178-183),
+- the procedural chessboard reflectance (Material.hpp:134-151) including its
+  C-truncation and signed-modulo corner cases.
+
+Lane material parameters are gathered once per path vertex into a `MatLane`.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from mcpt_tpu.constants import EPSILON
+from mcpt_tpu.materials import MaterialType
+from mcpt_tpu.utils.vec import dot, safe_normalize
+
+_SMOOTH_COND = int(MaterialType.SMOOTH_CONDUCTOR)
+_ROUGH_COND = int(MaterialType.ROUGH_CONDUCTOR)
+_SMOOTH_DIEL = int(MaterialType.SMOOTH_DIELECTRIC)
+_ROUGH_DIEL = int(MaterialType.ROUGH_DIELECTRIC)
+
+
+class MatLane(NamedTuple):
+    """Material parameters gathered per lane (B,)-shaped unless noted."""
+
+    mtype: jnp.ndarray
+    ior_a: jnp.ndarray
+    ior_b: jnp.ndarray
+    rough: jnp.ndarray
+    refl: jnp.ndarray  # (B, 3)
+    emission: jnp.ndarray  # (B, 3)
+    textured: jnp.ndarray  # bool
+    dirac: jnp.ndarray  # bool
+    emissive: jnp.ndarray  # bool
+
+    @property
+    def is_conductor(self):
+        return (self.mtype == _SMOOTH_COND) | (self.mtype == _ROUGH_COND)
+
+    @property
+    def is_rough(self):
+        return (self.mtype == _ROUGH_COND) | (self.mtype == _ROUGH_DIEL)
+
+
+def gather_material(pack, mat_ids) -> MatLane:
+    return MatLane(
+        mtype=pack.mat_type[mat_ids],
+        ior_a=pack.mat_ior_a[mat_ids],
+        ior_b=pack.mat_ior_b[mat_ids],
+        rough=pack.mat_rough[mat_ids],
+        refl=pack.mat_refl[mat_ids],
+        emission=pack.mat_emission[mat_ids],
+        textured=pack.mat_textured[mat_ids],
+        dirac=pack.mat_dirac[mat_ids],
+        emissive=pack.mat_emissive[mat_ids],
+    )
+
+
+def ior_of(m: MatLane, lam):
+    """2-term Cauchy dispersion (Material.hpp:178-183)."""
+    return m.ior_a + m.ior_b / (lam * lam)
+
+
+# ---------------------------------------------------------------------------
+# Microfacet terms
+# ---------------------------------------------------------------------------
+
+
+def d_ggx(h, n, alpha):
+    """Reference D (Material.hpp:26-34): α² / (π (NoH²(α + tan²θ))²)."""
+    noh = jnp.abs(dot(n, h))
+    good = noh > EPSILON
+    noh_s = jnp.where(good, noh, 1.0)
+    tan2 = (1.0 - noh_s * noh_s) / (noh_s * noh_s)
+    denom = (noh_s * noh_s) * (alpha + tan2)
+    denom = jnp.where(jnp.abs(denom) > 0.0, denom, 1.0)
+    d = alpha * alpha / (jnp.pi * denom * denom)
+    return jnp.where(good, d, 0.0)
+
+
+def g1_smith(v, n, alpha):
+    """Height-correlated-free Smith G1 (Material.hpp:38-69)."""
+    nov = jnp.abs(dot(n, v))
+    good = nov > EPSILON
+    nov_s = jnp.where(good, nov, 1.0)
+    tan_t = jnp.sqrt(jnp.maximum(1.0 - nov_s * nov_s, 0.0)) / nov_s
+    at = alpha * tan_t
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + at * at))
+    g = jnp.where(tan_t == 0.0, 1.0, g)
+    return jnp.where(good, g, 0.0)
+
+
+def g_smith(wi, wo, n, alpha):
+    """Product of the two G1s (Material.hpp:70-77)."""
+    return g1_smith(wi, n, alpha) * g1_smith(wo, n, alpha)
+
+
+def chessboard_reflectance(uv):
+    """Procedural chessboard (Material.hpp:134-151), C-semantics intact:
+    int() truncates toward zero and (col+row)%2 keeps the dividend's sign."""
+    col = jnp.trunc((uv[:, 0] - 0.05) * 10.0).astype(jnp.int32)
+    row = jnp.trunc(uv[:, 1] * 12.0).astype(jnp.int32)
+    in_board = (col >= 3) & (col <= 5) & (row <= 7)
+    is_white = lax.rem(col + row, 2) == 1
+    return jnp.where(in_board & is_white, 0.9, 0.1)
+
+
+def reflectance_of(m: MatLane, uv, chan):
+    """Per-wavelength scalar reflectance (Material.hpp:134-151)."""
+    base = jnp.take_along_axis(m.refl, chan[:, None], axis=1)[:, 0]
+    return jnp.where(m.textured, chessboard_reflectance(uv), base)
+
+
+def fresnel_schlick(cos_theta, f0):
+    """Schlick approximation (Material.hpp:80-86)."""
+    inv = 1.0 - cos_theta
+    c2 = inv * inv
+    return f0 + (1.0 - f0) * c2 * c2 * inv
+
+
+def fresnel(m: MatLane, incident, nrm, lam):
+    """Unpolarized dielectric Fresnel with TIR; conductors return 1
+    (Material.hpp:198-226). ``incident`` points INTO the surface (the ray
+    direction), matching `Scene.cpp:110`'s call with ray.direction."""
+    cosi = jnp.clip(dot(incident, nrm), -1.0, 1.0)
+    ior = ior_of(m, lam)
+    outside = cosi <= 0.0
+    etai = jnp.where(outside, 1.0, ior)
+    etat = jnp.where(outside, ior, 1.0)
+    sint = etai / etat * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    tir = sint >= 1.0
+    sint_s = jnp.where(tir, 0.0, sint)
+    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint_s * sint_s))
+    aci = jnp.abs(cosi)
+    rs_den = etat * aci + etai * cost
+    rp_den = etai * aci + etat * cost
+    rs = (etat * aci - etai * cost) / jnp.where(rs_den > 0.0, rs_den, 1.0)
+    rp = (etai * aci - etat * cost) / jnp.where(rp_den > 0.0, rp_den, 1.0)
+    kr = 0.5 * (rs * rs + rp * rp)
+    kr = jnp.where(tir, 1.0, kr)
+    return jnp.where(m.is_conductor, 1.0, kr)
+
+
+def refract_dir(incident, nrm, eta_ratio_ior, cosi_sign=None):
+    raise NotImplementedError  # replaced by refract() below; kept explicit
+
+
+def refract(m: MatLane, incident, nrm, lam):
+    """Snell refraction; zero vector on TIR (Material.hpp:227-242).
+    ``incident`` is the ray direction (into the surface)."""
+    cosi = jnp.clip(dot(incident, nrm), -1.0, 1.0)
+    ior = ior_of(m, lam)
+    entering = cosi < 0.0
+    etai = jnp.where(entering, 1.0, ior)
+    etat = jnp.where(entering, ior, 1.0)
+    n = jnp.where(entering[:, None], nrm, -nrm)
+    ci = jnp.abs(cosi)
+    eta = etai / etat
+    k = 1.0 - eta * eta * (1.0 - ci * ci)
+    ok = k >= 0.0
+    k_s = jnp.where(ok, k, 0.0)
+    out = eta[:, None] * incident + (eta * ci - jnp.sqrt(k_s))[:, None] * n
+    return jnp.where(ok[:, None], out, jnp.zeros_like(out))
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+
+def tangent_frame(n):
+    """Hughes-Möller-style frame exactly as Material.hpp:95-106."""
+    ax = jnp.abs(n[:, 0]) > jnp.abs(n[:, 1])
+    lx = jnp.sqrt(jnp.maximum(n[:, 0] ** 2 + n[:, 2] ** 2, 1e-30))
+    ly = jnp.sqrt(jnp.maximum(n[:, 1] ** 2 + n[:, 2] ** 2, 1e-30))
+    tx = jnp.where(
+        ax[:, None],
+        jnp.stack([-n[:, 2] / lx, jnp.zeros_like(lx), n[:, 0] / lx], axis=-1),
+        jnp.stack([jnp.zeros_like(ly), n[:, 2] / ly, -n[:, 1] / ly], axis=-1),
+    )
+    bt = jnp.cross(n, tx)
+    return tx, bt
+
+
+def sample_ggx_h(n, alpha, xi1, xi2):
+    """GGX NDF importance sample of the half vector (Material.hpp:111-123)."""
+    phi = 2.0 * jnp.pi * xi1
+    a2 = alpha * alpha
+    cos_t = jnp.sqrt(
+        jnp.maximum(1.0 - xi2, 0.0) / jnp.maximum(1.0 + (a2 - 1.0) * xi2, 1e-20)
+    )
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    tan_h = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    t, b = tangent_frame(n)
+    h = tan_h[:, 0:1] * t + tan_h[:, 1:2] * b + tan_h[:, 2:3] * n
+    return safe_normalize(h)
+
+
+def sample_microfacet_normal(m: MatLane, n, xi1, xi2):
+    """Material::sample (Material.hpp:268-281): GGX h for rough, n for smooth."""
+    h = sample_ggx_h(n, m.rough, xi1, xi2)
+    return jnp.where(m.is_rough[:, None], h, n)
+
+
+# ---------------------------------------------------------------------------
+# pdf / eval
+# ---------------------------------------------------------------------------
+
+
+def _half_reflect(wi, wo, n):
+    h = safe_normalize(wi + wo)
+    return jnp.where((dot(wi, n) > 0.0)[:, None], h, -h)
+
+
+def _half_refract(wi, wo, n, eta):
+    hv = -wi - wo * eta[:, None]
+    h = safe_normalize(hv)
+    return hv, h
+
+
+def pdf(m: MatLane, wi, wo, n, lam, is_reflect):
+    """Material::pdf (Material.hpp:285-328) with half-vector Jacobians."""
+    ior = ior_of(m, lam)
+    eta = jnp.where(dot(wi, n) > 0.0, ior, 1.0 / ior)
+
+    # rough
+    h_r = _half_reflect(wi, wo, n)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(h_r, wo)), 1e-20)
+    hv, h_t = _half_refract(wi, wo, n, eta)
+    d1 = jnp.maximum(dot(hv, hv), 1e-20)
+    jac_t = eta * eta * jnp.abs(dot(h_t, wo)) / d1
+    h = jnp.where(is_reflect[:, None], h_r, h_t)
+    jac = jnp.where(is_reflect, jac_r, jac_t)
+    d = d_ggx(h, n, m.rough)
+    p_rough = d * dot(n, h) * jac
+
+    # smooth (Dirac): 1 iff the half vector aligns with n.
+    h_sm_t = jnp.where((dot(h_t, n) > 0.0)[:, None], h_t, -h_t)
+    h_sm = jnp.where(is_reflect[:, None], safe_normalize(wi + wo), h_sm_t)
+    p_smooth = jnp.where(jnp.abs(dot(h_sm, n)) > 1.0 - EPSILON, 1.0, 0.0)
+
+    return jnp.where(m.is_rough, p_rough, p_smooth)
+
+
+def eval_bsdf(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
+    """Material::eval (Material.hpp:330-408).
+
+    wi = incoming_light (toward the light / next vertex),
+    wo = outgoing_view, n = macro normal; all unit, (B,3).
+    """
+    win = dot(wi, n)
+    won = dot(wo, n)
+    same_side = win * won > 0.0
+    ior = ior_of(m, lam)
+    eta = jnp.where(win > 0.0, ior, 1.0 / ior)
+    alpha = m.rough
+
+    # ---- rough reflect (Material.hpp:337-353)
+    h_r = _half_reflect(wi, wo, n)
+    f_cond = fresnel_schlick(jnp.abs(dot(h_r, wo)), reflectance_of(m, uv, chan))
+    f_diel_r = fresnel(m, -wi, h_r, lam)
+    f_r = jnp.where(m.is_conductor, f_cond, f_diel_r)
+    d_r = d_ggx(h_r, n, alpha)
+    g_r = g_smith(wi, wo, h_r, alpha)
+    denom_r = 4.0 * jnp.abs(win) * jnp.abs(won) + EPSILON
+    rough_reflect = jnp.where(same_side, f_r * d_r * g_r / denom_r, 0.0)
+
+    # ---- rough refract (Material.hpp:354-372), Walter eq. 21
+    hv, h_t0 = _half_refract(wi, wo, n, eta)
+    h_t = jnp.where((dot(h_t0, n) > 0.0)[:, None], h_t0, -h_t0)
+    f_t = fresnel(m, -wi, h_t, lam)
+    d_t = d_ggx(h_t, n, alpha)
+    g_t = g_smith(wi, wo, h_t, alpha)
+    hol = dot(h_t, wi)
+    hov = dot(h_t, wo)
+    den = hol + eta * hov
+    den = den * den * jnp.abs(win * won)
+    den = jnp.where(den > 0.0, den, 1.0)
+    rough_refract = (1.0 - f_t) * d_t * g_t * eta * eta * jnp.abs(hol * hov) / den
+    rough_refract = jnp.where(
+        m.is_conductor | same_side | (win * won == 0.0), 0.0, rough_refract
+    )
+
+    # ---- smooth reflect (Material.hpp:379-390)
+    h_sr = _half_reflect(wi, wo, n)
+    aligned_r = dot(h_sr, n) >= 1.0 - EPSILON
+    f_sm_cond = fresnel_schlick(jnp.abs(won), reflectance_of(m, uv, chan))
+    f_sm_diel = fresnel(m, -wi, n, lam)
+    smooth_reflect = jnp.where(
+        same_side & aligned_r,
+        jnp.where(m.is_conductor, f_sm_cond, f_sm_diel),
+        0.0,
+    )
+
+    # ---- smooth refract (Material.hpp:391-403)
+    aligned_t = dot(h_t, n) >= 1.0 - EPSILON
+    smooth_refract = jnp.where(
+        (~m.is_conductor) & (~same_side) & (win * won != 0.0) & aligned_t,
+        1.0 - fresnel(m, -wi, n, lam),
+        0.0,
+    )
+
+    rough = jnp.where(is_reflect, rough_reflect, rough_refract)
+    smooth = jnp.where(is_reflect, smooth_reflect, smooth_refract)
+    return jnp.where(m.is_rough, rough, smooth)

@@ -1,0 +1,26 @@
+"""Global numeric constants shared by the tracer.
+
+Mirrors the reference's `src/global.hpp` / `src/Renderer.cpp:15` constants and
+`src/WaveLen.hpp:7-18` CIE-1931 wavelengths (micrometers).
+"""
+
+import numpy as np
+
+# Geometric tolerance used for AABB slack, self-intersection offsets, Dirac
+# half-vector tests and shadow-distance matching (reference: Renderer.cpp:15).
+EPSILON = 1e-4
+
+# Firefly clamps applied per path vertex (reference: Scene.cpp:180-182).
+CLAMP_INDIRECT = 5.0
+CLAMP_DIRECT = 15.0
+
+# Sentinel "miss" distance (reference: Intersection.hpp:16 uses double max; a
+# large finite float32 keeps XLA arithmetic well-defined).
+T_MAX = np.float32(3.0e37)
+
+# The three traced wavelengths in micrometers, CIE 1931 primaries
+# (reference: WaveLen.hpp:7-18). Channel order is R, G, B.
+WAVELEN_UM = np.array([0.700, 0.5461, 0.4358], dtype=np.float32)
+
+# Output transfer curve (reference: Renderer.cpp:96).
+INV_GAMMA = 0.45

@@ -1,0 +1,261 @@
+"""Wavefront path-tracing integrator.
+
+Semantics = the reference's recursive `Scene::castRay` (`src/Scene.cpp:85-184`)
+and `Scene::directLighting` (`src/Scene.cpp:56-82`), re-expressed for a vector
+machine:
+
+- The unbounded recursion (terminated only by Russian roulette,
+  Scene.cpp:121-129) becomes a **fixed-trip `lax.scan` over bounces** on a ray
+  pool; every lane carries (origin, direction, nearest-hit, alive).
+- The reference applies its firefly clamps **per recursion level** to the
+  *already-recursed* indirect value (`l_ind ∈ [0,5]`, `l_dir ∈ [0,15]`,
+  Scene.cpp:180-183), which is non-linear and cannot be folded into a forward
+  throughput product. We therefore record per-bounce (l_dir, weight, leaf,
+  terminal) and run a **reverse scan** that reproduces the nested-clamp
+  recursion *exactly* (up to the bounce cap):
+
+      L_d = terminal_d ? leaf_d : clamp15(l_dir_d) + clamp5(w_d · L_{d+1})
+
+  with the reference's terminal cases encoded in `leaf`:
+    * primary miss  → env/background radiance (Scene.cpp:88-95),
+    * depth-0 emitter hit → clamp(0,1, emit·|wo·n|) (Scene.cpp:102-107),
+    * RR kill → *unclamped* l_dir (Scene.cpp:129,156 — the early return skips
+      the final clamps),
+    * bounce ray missed or hit an emitter → clamp15(l_dir) +
+      clamp5(env(wi)·eval·invRr) (Scene.cpp:145-149,172-176 — indirect rays
+      that reach the light return the env color; emitters contribute only via
+      NEE and the depth-0 eye hit),
+    * bounce cap reached while alive → clamp15(l_dir) (truncation; the
+      reference has no cap, the bias is rrRate^max_bounces).
+
+- One intersect per bounce: the reference re-traces the same ray inside the
+  recursive call (Scene.cpp:134+137); we carry the child intersection in the
+  scan state instead.
+- RNG is counter-based `jax.random` keyed on (pixel-lane, bounce, use-site):
+  fully deterministic, reproducible, and parallel — replacing the reference's
+  thread-indexed (and accidentally default-seeded, global.hpp:14 static-in-
+  header) mt19937s.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcpt_tpu.bsdf import (
+    eval_bsdf,
+    fresnel,
+    gather_material,
+    pdf,
+    refract,
+    sample_microfacet_normal,
+)
+from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, T_MAX
+from mcpt_tpu.envmap import sample_env
+from mcpt_tpu.intersect import Hit, intersect, surface_at
+from mcpt_tpu.lights import sample_light
+from mcpt_tpu.utils.vec import dot, reflect, safe_normalize
+
+
+def _extract(chan, rgb):
+    """WaveLen.hpp:31-43 `extract`: pick the lane's channel from an RGB."""
+    return jnp.take_along_axis(rgb, chan[:, None], axis=1)[:, 0]
+
+
+def direct_lighting(pack, key, wo, p, n, uv, mat_ids, lam, chan, is_reflect, method):
+    """NEE estimator, Scene.cpp:56-82. Returns the *un-weighted* sum (the
+    caller applies the kr / (1-kr) fresnel weight of Scene.cpp:114-119).
+
+    Each lane draws `n_dir_sample` light samples; the (B, S) problem is
+    flattened to one (B*S,) shadow-ray batch so the intersect stays a single
+    large kernel.
+    """
+    if pack.n_emitters == 0:
+        return jnp.zeros(p.shape[0], jnp.float32)
+    b = p.shape[0]
+    s = pack.n_dir_sample
+    u = jax.random.uniform(key, (b * s, 4), dtype=jnp.float32)
+    ls = sample_light(pack, u)
+
+    rep = lambda x: jnp.repeat(x, s, axis=0)
+    p_r, n_r, wo_r, uv_r = rep(p), rep(n), rep(wo), rep(uv)
+    lam_r, chan_r, isr_r = rep(lam), rep(chan), rep(is_reflect)
+    m_r = gather_material(pack, rep(mat_ids))
+
+    delta = ls.p - p_r
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-20))
+    ws = delta / dist[:, None]
+
+    if pack.enable_shadow:
+        sh = intersect(pack, p_r, ws, method=method)
+        visible = sh.prim >= 0
+        visible &= jnp.abs(sh.t - dist) < EPSILON
+    else:
+        visible = jnp.ones(b * s, bool)
+
+    emit = _extract(chan_r, ls.emit)
+    ev = eval_bsdf(m_r, ws, wo_r, n_r, lam_r, uv_r, chan_r, isr_r)
+    # Scene.cpp:76-78: emit · eval · (ws·n) · (−ws·n_light) / dist² / pdf / S.
+    contrib = (
+        emit
+        * ev
+        * dot(ws, n_r)
+        * dot(-ws, ls.n)
+        / (dist * dist)
+        / ls.pdf
+        / jnp.float32(s)
+    )
+    contrib = jnp.where(visible, contrib, 0.0)
+    return jnp.sum(contrib.reshape(b, s), axis=1)
+
+
+class PathStats(NamedTuple):
+    rays: jnp.ndarray  # () total rays traced (primary + shadow + bounce)
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "method"))
+def trace_paths(pack, o, d, lam, chan, key, max_bounces: int = 8, method: str = "auto"):
+    """Radiance for a batch of primary rays.
+
+    o, d: (B,3); lam: (B,) wavelength in µm; chan: (B,) int32 RGB channel.
+    Returns (radiance (B,), PathStats).
+    """
+    b = o.shape[0]
+    hit0 = intersect(pack, o, d, method=method)
+    alive0 = jnp.ones(b, bool)
+    shadow_rays_per_vertex = pack.n_dir_sample if pack.n_emitters else 0
+
+    def body(carry, depth):
+        o, d, t, prim, alive = carry
+        kd = jax.random.fold_in(key, depth)
+        surf = surface_at(pack, o, d, Hit(t, prim))
+        happened = surf.happened
+        wo = -d
+
+        # Terminal A: miss → env/background (Scene.cpp:88-95).
+        env_leaf = _extract(chan, sample_env(pack, d))
+        # Terminal B: depth-0 emitter hit (Scene.cpp:102-107).
+        m = gather_material(pack, surf.mat)
+        emit_lane = _extract(chan, m.emission)
+        b_leaf = jnp.clip(emit_lane * jnp.abs(dot(wo, surf.n)), 0.0, 1.0)
+        is_b = (depth == 0) & happened & surf.emissive
+
+        at_vertex = alive & happened & ~is_b
+
+        # Microfacet normal + Fresnel split (Scene.cpp:109-110).
+        xi = jax.random.uniform(jax.random.fold_in(kd, 0), (b, 4), dtype=jnp.float32)
+        mfn = sample_microfacet_normal(m, surf.n, xi[:, 0], xi[:, 1])
+        kr = fresnel(m, d, mfn, lam)
+
+        # NEE from the ε-offset point (Scene.cpp:113-119).
+        p_dl = surf.p + surf.n * EPSILON
+        inner = dot(wo, surf.n) < 0.0
+        l_dir_raw = direct_lighting(
+            pack,
+            jax.random.fold_in(kd, 1),
+            wo,
+            p_dl,
+            surf.n,
+            surf.uv,
+            surf.mat,
+            lam,
+            chan,
+            ~inner,
+            method,
+        )
+        l_dir = jnp.where(inner, 1.0 - kr, kr) * l_dir_raw
+
+        # Russian roulette + stochastic reflect/refract (Scene.cpp:121-159).
+        rr_kill = xi[:, 2] >= pack.rr_rate
+        branch_reflect = xi[:, 3] < kr
+        womfn = dot(wo, mfn)
+        sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
+        sign_refract = -sign_reflect
+        sign = jnp.where(branch_reflect, sign_reflect, sign_refract)
+        p_new = surf.p + surf.n * (EPSILON * sign[:, None])
+
+        wi = jnp.where(
+            branch_reflect[:, None],
+            reflect(wo, mfn),
+            refract(m, d, mfn, lam),
+        )
+        nxt = intersect(pack, p_new, wi, method=method)
+        nxt_mat = jnp.where(nxt.prim >= 0, _prim_mat(pack, nxt.prim), 0)
+        nxt_emissive = (nxt.prim >= 0) & pack.mat_emissive[nxt_mat]
+
+        ev = eval_bsdf(m, wi, wo, surf.n, lam, surf.uv, chan, branch_reflect)
+        pv = pdf(m, wi, wo, surf.n, lam, branch_reflect)
+        # Indirect weight (Scene.cpp:135-144,162-171). Note the reference's
+        # |wo·n| cosine (not |wi·n|) — kept verbatim. Zero the weight when the
+        # pdf underflows (measure-zero events that would inf/NaN in C++ too).
+        pv_ok = jnp.abs(pv) > 1e-20
+        w_rough = jnp.where(
+            pv_ok,
+            ev * jnp.abs(dot(wo, surf.n)) / jnp.where(pv_ok, pv, 1.0) * pack.inv_rr,
+            0.0,
+        )
+        w = jnp.where(m.dirac, ev * pack.inv_rr, w_rough)
+
+        cont = at_vertex & ~rr_kill & (nxt.prim >= 0) & ~nxt_emissive
+        env_ind = _extract(chan, sample_env(pack, wi)) * ev * pack.inv_rr
+
+        leaf = jnp.where(
+            ~alive,
+            0.0,
+            jnp.where(
+                ~happened,
+                env_leaf,
+                jnp.where(
+                    is_b,
+                    b_leaf,
+                    jnp.where(
+                        rr_kill,
+                        l_dir,  # raw early return (Scene.cpp:129,156)
+                        jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+                        + jnp.clip(env_ind, 0.0, CLAMP_INDIRECT),
+                    ),
+                ),
+            ),
+        )
+        terminal = ~cont
+        n_rays = jnp.sum(
+            jnp.where(at_vertex, 1 + shadow_rays_per_vertex, 0)
+        )
+        carry = (p_new, wi, nxt.t, nxt.prim, cont)
+        return carry, (l_dir, w, leaf, terminal, n_rays)
+
+    carry0 = (o, d, hit0.t, hit0.prim, alive0)
+    _, (l_dirs, ws, leaves, terminals, ray_counts) = lax.scan(
+        body, carry0, jnp.arange(max_bounces)
+    )
+
+    # Reverse fold reproducing the nested per-level clamps (Scene.cpp:180-183).
+    def fold(l_next, rec):
+        l_dir, w, leaf, terminal = rec
+        l_here = jnp.where(
+            terminal,
+            leaf,
+            jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+            + jnp.clip(w * l_next, 0.0, CLAMP_INDIRECT),
+        )
+        return l_here, None
+
+    radiance, _ = lax.scan(
+        fold,
+        jnp.zeros(b, jnp.float32),
+        (l_dirs, ws, leaves, terminals),
+        reverse=True,
+    )
+    stats = PathStats(rays=jnp.sum(ray_counts) + b)
+    return radiance, stats
+
+
+def _prim_mat(pack, prim):
+    """Material id for a unified primitive index (tri or sphere)."""
+    n_tris = pack.tri_v0.shape[0]
+    is_tri = prim < n_tris
+    tid = jnp.clip(prim, 0, n_tris - 1)
+    sid = jnp.clip(prim - n_tris, 0, pack.sph_r.shape[0] - 1)
+    return jnp.where(is_tri, pack.tri_mat[tid], pack.sph_mat[sid])

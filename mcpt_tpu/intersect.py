@@ -1,0 +1,331 @@
+"""Ray-scene intersection: dense MXU path, stackless BVH path, brute oracle.
+
+Semantics reproduce the reference exactly:
+- Möller-Trumbore triangle test with the ``|det| < EPSILON`` miss and
+  inclusive barycentric bounds, accepting t >= 0 (`src/Triangle.hpp:222-252`),
+- analytic sphere quadratic with the numerically-stable q-form of
+  `solveQuadratic` (`src/Sphere.hpp:26-48`, `src/global.hpp:20-35`),
+- AABB slab test with ±EPSILON slack (`src/Bounds3.hpp:95-108`),
+- nearest hit wins (`src/BVH.cpp:113-115`).
+
+The *implementations* are TPU-native:
+- **Dense path** (small scenes): each triangle carries a precomputed
+  world→unit-triangle affine transform (rows of [e1|e2|e1×e2]⁻¹, built in
+  scene.py), so transforming a ray batch against every triangle is two
+  ``(B,3) @ (3,3T)`` matmuls that run on the MXU, followed by elementwise
+  accept tests and an argmin. No per-triangle cross products at trace time.
+- **BVH path** (large scenes): lockstep traversal — every ray in the batch
+  walks its own node pointer through the threaded flat BVH inside one
+  `lax.while_loop`; leaves test up to `leaf_size` primitives per visit with
+  gathered geometry. No recursion, no stack, fixed-shape state.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcpt_tpu.constants import EPSILON, T_MAX
+
+_HI = lax.Precision.HIGHEST
+
+
+class Hit(NamedTuple):
+    """Nearest-hit record. prim: triangle index, or n_tris + sphere index,
+    or -1 for a miss. t is T_MAX on miss."""
+
+    t: jnp.ndarray  # (B,)
+    prim: jnp.ndarray  # (B,) int32
+
+
+class Surface(NamedTuple):
+    """Shading info at the nearest hit (reference Intersection.hpp:12-29)."""
+
+    happened: jnp.ndarray  # (B,) bool
+    p: jnp.ndarray  # (B, 3) hit coordinates
+    n: jnp.ndarray  # (B, 3) geometric normal (not flipped; two-sided BSDF)
+    uv: jnp.ndarray  # (B, 2) interpolated texture coords
+    mat: jnp.ndarray  # (B,) int32 material id
+    emissive: jnp.ndarray  # (B,) bool
+    t: jnp.ndarray  # (B,)
+
+
+# ---------------------------------------------------------------------------
+# Sphere test (shared)
+# ---------------------------------------------------------------------------
+
+
+def _sphere_t(pack, o, d):
+    """(B,S) hit distances against all spheres; T_MAX on miss."""
+    L = o[:, None, :] - pack.sph_c[None, :, :]  # (B,S,3)
+    a = jnp.sum(d * d, axis=-1)[:, None]  # (B,1)
+    b = 2.0 * jnp.einsum("bi,bsi->bs", d, L, precision=_HI)
+    c = jnp.sum(L * L, axis=-1) - (pack.sph_r * pack.sph_r)[None, :]
+    disc = b * b - 4.0 * a * c
+    ok = (disc >= 0.0) & (pack.sph_r > 0.0)[None, :]
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # global.hpp:20-35 stable form: q = -(b ± sqrt)/2, roots q/a and c/q.
+    q = jnp.where(b > 0.0, -0.5 * (b + sq), -0.5 * (b - sq))
+    qs = jnp.where(jnp.abs(q) > 0.0, q, 1.0)
+    x0 = q / a
+    x1 = c / qs
+    t0 = jnp.minimum(x0, x1)
+    t1 = jnp.maximum(x0, x1)
+    t = jnp.where(t0 < 0.0, t1, t0)
+    ok &= t >= 0.0
+    return jnp.where(ok, t, T_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Dense (matmul) triangle path
+# ---------------------------------------------------------------------------
+
+
+def intersect_dense(pack, o, d) -> Hit:
+    """Nearest hit via MXU-batched unit-triangle transforms.
+
+    Two (B,3)@(3,3T) matmuls produce ray origin/direction in every triangle's
+    barycentric frame; t = -o'_z/d'_z, (u,v) = o'_xy + t d'_xy.
+    """
+    t_cnt = pack.tri_v0.shape[0]
+    wf = pack.tri_w.reshape(t_cnt * 3, 3)  # rows (t, i)
+    dp = jnp.dot(d, wf.T, precision=_HI).reshape(-1, t_cnt, 3)
+    op = jnp.dot(o, wf.T, precision=_HI).reshape(-1, t_cnt, 3) - pack.tri_c[None]
+    dz = dp[:, :, 2]
+    oz = op[:, :, 2]
+    dz_safe = jnp.where(jnp.abs(dz) > 0.0, dz, 1.0)
+    t_hit = -oz / dz_safe
+    u = op[:, :, 0] + t_hit * dp[:, :, 0]
+    v = op[:, :, 1] + t_hit * dp[:, :, 1]
+    # Reference det-epsilon miss: det = e1·(d×e2) = -d'_z·|e1×e2|²
+    # (Triangle.hpp:228), tested as |det| < EPSILON.
+    det = -dz * pack.tri_nr2[None, :]
+    ok = (
+        (jnp.abs(det) >= EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t_hit >= 0.0)
+        & pack.tri_valid[None, :]
+    )
+    t_arr = jnp.where(ok, t_hit, T_MAX)
+
+    sph_t = _sphere_t(pack, o, d)
+    all_t = jnp.concatenate([t_arr, sph_t], axis=1)
+    prim = jnp.argmin(all_t, axis=1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(all_t, prim[:, None], axis=1)[:, 0]
+    prim = jnp.where(t_best < T_MAX, prim, -1)
+    return Hit(t=t_best, prim=prim)
+
+
+# ---------------------------------------------------------------------------
+# Gathered single-primitive tests (BVH leaves)
+# ---------------------------------------------------------------------------
+
+
+def _tri_test_gather(pack, pid, o, d):
+    """Per-lane Möller-Trumbore against gathered triangle `pid` (B,)."""
+    v0 = pack.tri_v0[pid]
+    e1 = pack.tri_e1[pid]
+    e2 = pack.tri_e2[pid]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_safe = jnp.where(jnp.abs(det) > 0.0, det, 1.0)
+    inv = 1.0 / det_safe
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv
+    t = jnp.sum(e2 * qvec, axis=-1) * inv
+    ok = (
+        (jnp.abs(det) >= EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= 0.0)
+        & pack.tri_valid[pid]
+    )
+    return jnp.where(ok, t, T_MAX)
+
+
+def _sphere_test_gather(pack, sid, o, d):
+    """Per-lane quadratic against gathered sphere `sid` (B,)."""
+    c0 = pack.sph_c[sid]
+    r = pack.sph_r[sid]
+    L = o - c0
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(d * L, axis=-1)
+    c = jnp.sum(L * L, axis=-1) - r * r
+    disc = b * b - 4.0 * a * c
+    ok = (disc >= 0.0) & (r > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b > 0.0, -0.5 * (b + sq), -0.5 * (b - sq))
+    qs = jnp.where(jnp.abs(q) > 0.0, q, 1.0)
+    x0 = q / a
+    x1 = c / qs
+    t0 = jnp.minimum(x0, x1)
+    t1 = jnp.maximum(x0, x1)
+    t = jnp.where(t0 < 0.0, t1, t0)
+    ok &= t >= 0.0
+    return jnp.where(ok, t, T_MAX)
+
+
+# ---------------------------------------------------------------------------
+# Stackless lockstep BVH traversal
+# ---------------------------------------------------------------------------
+
+
+def intersect_bvh(pack, o, d) -> Hit:
+    """Every lane walks the threaded BVH in lockstep inside one while_loop."""
+    b = o.shape[0]
+    n_tris = pack.tri_v0.shape[0]
+    dinv = 1.0 / d
+    leaf_size = pack.bvh_leaf_size
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node >= 0)
+
+    def body(state):
+        node, t_best, prim_best = state
+        active = node >= 0
+        nidx = jnp.maximum(node, 0)
+        nmin = pack.bvh_min[nidx]
+        nmax = pack.bvh_max[nidx]
+        # Slab test with EPSILON slack (Bounds3.hpp:95-108).
+        vt1 = (nmin - o) * dinv
+        vt2 = (nmax - o) * dinv
+        tmin = jnp.max(jnp.minimum(vt1, vt2), axis=-1)
+        tmax = jnp.min(jnp.maximum(vt1, vt2), axis=-1)
+        hit_box = (tmin - EPSILON <= tmax) & (tmax >= -EPSILON) & active
+        # Early-out: a box farther than the current best can't improve the
+        # nearest hit (pure optimization; never changes the result).
+        hit_box &= tmin - EPSILON <= t_best
+
+        start = pack.bvh_leaf_start[nidx]
+        count = pack.bvh_leaf_count[nidx]
+        is_leaf = (start >= 0) & hit_box
+
+        for s in range(leaf_size):
+            slot_ok = is_leaf & (s < count)
+            pid = jnp.where(slot_ok, pack.bvh_prims[start + s], 0)
+            is_tri = pid < n_tris
+            t_tri = _tri_test_gather(pack, jnp.minimum(pid, n_tris - 1), o, d)
+            sid = jnp.clip(pid - n_tris, 0, pack.sph_r.shape[0] - 1)
+            t_sph = _sphere_test_gather(pack, sid, o, d)
+            t_cand = jnp.where(is_tri, t_tri, t_sph)
+            t_cand = jnp.where(slot_ok, t_cand, T_MAX)
+            better = t_cand < t_best
+            t_best = jnp.where(better, t_cand, t_best)
+            prim_best = jnp.where(better, pid, prim_best)
+
+        miss = pack.bvh_miss[nidx]
+        interior_hit = hit_box & (start < 0)
+        nxt = jnp.where(interior_hit, node + 1, miss)
+        nxt = jnp.where(active, nxt, -1)
+        return nxt, t_best, prim_best
+
+    node0 = jnp.zeros(b, jnp.int32)
+    t0 = jnp.full(b, T_MAX, jnp.float32)
+    p0 = jnp.full(b, -1, jnp.int32)
+    node, t_best, prim_best = lax.while_loop(cond, body, (node0, t0, p0))
+    prim_best = jnp.where(t_best < T_MAX, prim_best, -1)
+    return Hit(t=t_best, prim=prim_best)
+
+
+def intersect(pack, o, d, method: str = "auto") -> Hit:
+    if method == "auto":
+        method = "dense" if pack.tri_v0.shape[0] <= 2048 else "bvh"
+    if method == "dense":
+        return intersect_dense(pack, o, d)
+    if method == "bvh":
+        return intersect_bvh(pack, o, d)
+    raise ValueError(f"unknown intersect method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Shading info
+# ---------------------------------------------------------------------------
+
+
+def surface_at(pack, o, d, hit: Hit) -> Surface:
+    """Gather normal / uv / material for the winning primitive per lane."""
+    n_tris = pack.tri_v0.shape[0]
+    happened = hit.prim >= 0
+    is_tri = happened & (hit.prim < n_tris)
+    tid = jnp.clip(hit.prim, 0, n_tris - 1)
+    sid = jnp.clip(hit.prim - n_tris, 0, pack.sph_r.shape[0] - 1)
+
+    p = o + d * hit.t[:, None]
+
+    # Triangle shading: recompute (u,v) from the Woop transform of the winner
+    # (cheaper than carrying per-candidate barycentrics through the argmin).
+    w = pack.tri_w[tid]  # (B,3,3)
+    c = pack.tri_c[tid]
+    dp = jnp.einsum("bij,bj->bi", w, d, precision=_HI)
+    op = jnp.einsum("bij,bj->bi", w, o, precision=_HI) - c
+    dz_safe = jnp.where(jnp.abs(dp[:, 2]) > 0.0, dp[:, 2], 1.0)
+    t_tri = -op[:, 2] / dz_safe
+    u = op[:, 0] + t_tri * dp[:, 0]
+    v = op[:, 1] + t_tri * dp[:, 1]
+    uv3 = pack.tri_uv[tid]  # (B,3,2)
+    uv_tri = (
+        (1.0 - u - v)[:, None] * uv3[:, 0] + u[:, None] * uv3[:, 1] + v[:, None] * uv3[:, 2]
+    )
+    n_tri = pack.tri_n[tid]
+    mat_tri = pack.tri_mat[tid]
+
+    # Sphere shading.
+    n_sph = p - pack.sph_c[sid]
+    n_sph = n_sph / jnp.maximum(
+        jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-20
+    )
+    mat_sph = pack.sph_mat[sid]
+
+    n = jnp.where(is_tri[:, None], n_tri, n_sph)
+    uv = jnp.where(is_tri[:, None], uv_tri, jnp.zeros_like(uv_tri))
+    mat = jnp.where(is_tri, mat_tri, mat_sph)
+    mat = jnp.where(happened, mat, 0)
+    emissive = happened & pack.mat_emissive[mat]
+    return Surface(
+        happened=happened, p=p, n=n, uv=uv, mat=mat, emissive=emissive, t=hit.t
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracle (tests only): direct per-(ray, tri) Möller-Trumbore
+# ---------------------------------------------------------------------------
+
+
+def intersect_brute(pack, o, d) -> Hit:
+    def one(o1, d1):
+        pvec = jnp.cross(d1[None, :], pack.tri_e2)
+        det = jnp.sum(pack.tri_e1 * pvec, axis=-1)
+        det_safe = jnp.where(jnp.abs(det) > 0.0, det, 1.0)
+        inv = 1.0 / det_safe
+        tvec = o1[None, :] - pack.tri_v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv
+        qvec = jnp.cross(tvec, pack.tri_e1)
+        v = jnp.sum(d1[None, :] * qvec, axis=-1) * inv
+        t = jnp.sum(pack.tri_e2 * qvec, axis=-1) * inv
+        ok = (
+            (jnp.abs(det) >= EPSILON)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= 0.0)
+            & pack.tri_valid
+        )
+        return jnp.where(ok, t, T_MAX)
+
+    t_tri = jax.vmap(one)(o, d)
+    sph_t = _sphere_t(pack, o, d)
+    all_t = jnp.concatenate([t_tri, sph_t], axis=1)
+    prim = jnp.argmin(all_t, axis=1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(all_t, prim[:, None], axis=1)[:, 0]
+    prim = jnp.where(t_best < T_MAX, prim, -1)
+    return Hit(t=t_best, prim=prim)

@@ -1,0 +1,69 @@
+"""Area-light sampling over emitter mesh triangles.
+
+Reproduces the reference's two-stage pick exactly:
+1. emitter mesh chosen with probability ∝ its total area
+   (`Scene::sampleLight`, Scene.cpp:23-37),
+2. triangle within the mesh chosen by the BVH area-descent with its √u warp
+   (`BVHAccel::Sample`, BVH.cpp:131-135: p = sqrt(u)·rootArea, first leaf
+   whose inclusive cumulative area exceeds p),
+3. barycentric point with x=√u warp (`Triangle::Sample`, Triangle.hpp:71-76),
+4. reported pdf = 1/mesh_area — NOT 1/total_area — which is the reference's
+   net effect (leaf pdf 1/triArea × leaf area, ÷ root area; BVH.cpp:118-135).
+
+Device-side this is two vectorized prefix-sum searches over flat emitter
+arrays — no tree descent.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class LightSample(NamedTuple):
+    p: jnp.ndarray  # (B, 3) point on the light
+    n: jnp.ndarray  # (B, 3) light normal
+    emit: jnp.ndarray  # (B, 3) emission RGB
+    pdf: jnp.ndarray  # (B,) area pdf (1/mesh_area)
+
+
+def sample_light(pack, u):
+    """u: (B, 4) uniforms → LightSample. Requires pack.n_emitters > 0."""
+    e = pack.emt_tri.shape[0]
+    # Stage 1: mesh pick, first mesh with target <= cumulative area
+    # (Scene.cpp:28-36; inclusive bound via searchsorted 'left').
+    target = u[:, 0] * pack.emit_total_area
+    mesh = jnp.clip(
+        jnp.searchsorted(pack.lmesh_cum, target, side="left"),
+        0,
+        pack.lmesh_cum.shape[0] - 1,
+    ).astype(jnp.int32)
+    # Stage 2: triangle within mesh, p = sqrt(u)*meshArea, first emitter tri
+    # of that mesh with p < intra_cum (BVH.cpp:120-135 area descent).
+    # All triangles of a mesh share emt_mesh_area; recover it per lane with a
+    # masked max over the (small) emitter table.
+    idx = jnp.arange(e, dtype=jnp.int32)
+    same_mesh = pack.emt_mesh[None, :] == mesh[:, None]  # (B, E)
+    mesh_area = jnp.max(
+        jnp.where(same_mesh, pack.emt_mesh_area[None, :], 0.0), axis=1
+    )
+    p_tgt = jnp.sqrt(u[:, 1]) * mesh_area
+    hit = same_mesh & (p_tgt[:, None] < pack.emt_intra_cum[None, :])
+    cand = jnp.where(hit, idx[None, :], e)
+    sel = jnp.min(cand, axis=1)
+    # Guard: numeric edge (p_tgt == total) — fall back to the mesh's last tri.
+    last = jnp.max(jnp.where(same_mesh, idx[None, :], -1), axis=1)
+    sel = jnp.where(sel >= e, last, sel).astype(jnp.int32)
+    sel = jnp.clip(sel, 0, e - 1)
+    tri = pack.emt_tri[sel]
+
+    # Stage 3: point in triangle with the sqrt warp (Triangle.hpp:71-76).
+    x = jnp.sqrt(u[:, 2])[:, None]
+    y = u[:, 3][:, None]
+    v0 = pack.tri_v0[tri]
+    v1 = v0 + pack.tri_e1[tri]
+    v2 = v0 + pack.tri_e2[tri]
+    p = v0 * (1.0 - x) + v1 * (x * (1.0 - y)) + v2 * (x * y)
+    n = pack.tri_n[tri]
+    emit = pack.mat_emission[pack.tri_mat[tri]]
+    pdf = 1.0 / jnp.maximum(mesh_area, 1e-20)
+    return LightSample(p=p, n=n, emit=emit, pdf=pdf)

@@ -1,0 +1,431 @@
+"""Scene description and the scene→flat-device-buffer compiler.
+
+Host side: `TriangleMesh` / `Sphere` / `Scene` mirror the capability of the
+reference's object graph (`src/Triangle.hpp:83-135` mesh loading with
+``zoom*v + translation``, `src/Sphere.hpp`, `src/Scene.hpp:24-152` container
+with emitter split, RR rate, shadow toggle, NEE sample count, env map).
+
+Device side: `Scene.compile()` produces a `ScenePack` — one flat
+struct-of-arrays pytree holding every triangle, sphere, material row, emitter
+record, BVH node and the environment map. No objects, no pointers; primitive
+``i`` is a row. Triangles additionally carry a precomputed world-to-unit-
+triangle ("Woop") affine transform so that batched ray-triangle intersection
+becomes two matmuls (see intersect.py) that run on the MXU.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mcpt_tpu.bvh import build_bvh
+from mcpt_tpu.camera import Camera
+from mcpt_tpu.constants import EPSILON
+from mcpt_tpu.io.obj import load_obj
+from mcpt_tpu.io.png import read_png
+from mcpt_tpu.materials import Material
+
+
+# ---------------------------------------------------------------------------
+# Host-side scene objects
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TriangleMesh:
+    """An OBJ mesh instance: world pos = zoom * v + translation
+    (reference: Triangle.hpp:106). Flat per-face normals e1×e2
+    (Triangle.hpp:50-56); texcoords kept only if the material is textured
+    (Triangle.hpp:115-122)."""
+
+    positions: np.ndarray  # (F, 3, 3) world-space triangle vertices
+    texcoords: np.ndarray  # (F, 3, 2)
+    material: Material = field(default_factory=Material)
+    name: str = ""
+
+    @classmethod
+    def from_obj(
+        cls,
+        path,
+        material: Optional[Material] = None,
+        translation=(0.0, 0.0, 0.0),
+        zoom: float = 1.0,
+        name: str = "",
+    ) -> "TriangleMesh":
+        mesh = load_obj(path)
+        material = material if material is not None else Material()
+        pos = mesh["positions"] * np.float32(zoom) + np.asarray(
+            translation, dtype=np.float32
+        )
+        tc = (
+            mesh["texcoords"]
+            if material.textured
+            else np.zeros_like(mesh["texcoords"])
+        )
+        return cls(positions=pos, texcoords=tc, material=material, name=name or str(path))
+
+    @property
+    def areas(self) -> np.ndarray:
+        e1 = self.positions[:, 1] - self.positions[:, 0]
+        e2 = self.positions[:, 2] - self.positions[:, 0]
+        return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+    @property
+    def area(self) -> float:
+        return float(self.areas.sum())
+
+    @property
+    def has_emit(self) -> bool:
+        return self.material.has_emission
+
+
+@dataclass
+class Sphere:
+    """Analytic sphere (reference: src/Sphere.hpp)."""
+
+    center: tuple
+    radius: float
+    material: Material = field(default_factory=Material)
+    name: str = ""
+
+    @property
+    def area(self) -> float:
+        return float(4.0 * np.pi * self.radius * self.radius)
+
+    @property
+    def has_emit(self) -> bool:
+        return self.material.has_emission
+
+
+# ---------------------------------------------------------------------------
+# Device-side flat scene
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class ScenePack:
+    """Flat device representation of a scene. All arrays jnp, float32/int32.
+
+    Triangles (T = padded triangle count):
+      tri_v0/e1/e2/n: geometry; tri_w: (T,3,3) rows of the inverse of the
+      matrix [e1|e2|nraw] (Woop transform); tri_c = tri_w @ v0; tri_nr2 =
+      |e1×e2|² so the reference's Möller-Trumbore det-epsilon miss test
+      (Triangle.hpp:228) can be reproduced exactly from d'_z.
+    """
+
+    # triangles
+    tri_v0: jnp.ndarray  # (T, 3)
+    tri_e1: jnp.ndarray  # (T, 3)
+    tri_e2: jnp.ndarray  # (T, 3)
+    tri_n: jnp.ndarray  # (T, 3) unit geometric normal
+    tri_w: jnp.ndarray  # (T, 3, 3)
+    tri_c: jnp.ndarray  # (T, 3)
+    tri_nr2: jnp.ndarray  # (T,) |e1 x e2|^2
+    tri_uv: jnp.ndarray  # (T, 3, 2) texcoords t0,t1,t2
+    tri_mat: jnp.ndarray  # (T,) int32
+    tri_valid: jnp.ndarray  # (T,) bool (False on padding rows)
+    # spheres
+    sph_c: jnp.ndarray  # (S, 3)
+    sph_r: jnp.ndarray  # (S,)
+    sph_mat: jnp.ndarray  # (S,) int32
+    # material table
+    mat_type: jnp.ndarray  # (M,) int32 (MaterialType)
+    mat_ior_a: jnp.ndarray  # (M,)
+    mat_ior_b: jnp.ndarray  # (M,)
+    mat_rough: jnp.ndarray  # (M,)
+    mat_refl: jnp.ndarray  # (M, 3)
+    mat_emission: jnp.ndarray  # (M, 3)
+    mat_textured: jnp.ndarray  # (M,) bool
+    mat_emissive: jnp.ndarray  # (M,) bool
+    mat_dirac: jnp.ndarray  # (M,) bool
+    # emitter sampling (mesh-light triangles, grouped by owning mesh)
+    emt_tri: jnp.ndarray  # (E,) int32 triangle index
+    emt_mesh: jnp.ndarray  # (E,) int32 owning emitter-mesh ordinal
+    emt_intra_cum: jnp.ndarray  # (E,) inclusive cumulative area within mesh
+    emt_mesh_area: jnp.ndarray  # (E,) total area of the owning mesh
+    lmesh_cum: jnp.ndarray  # (L,) inclusive cumulative mesh areas
+    emit_total_area: jnp.ndarray  # () scalar
+    # environment
+    env_pixels: jnp.ndarray  # (H, W, 3) float32; (1,1,3) dummy when unused
+    background: jnp.ndarray  # (3,)
+    # integrator parameters (traced)
+    rr_rate: jnp.ndarray  # () float32
+    inv_rr: jnp.ndarray  # () float32
+    # static structure
+    n_tris: int = struct.field(pytree_node=False, default=0)
+    n_spheres: int = struct.field(pytree_node=False, default=0)
+    n_emitters: int = struct.field(pytree_node=False, default=0)
+    use_env: bool = struct.field(pytree_node=False, default=False)
+    enable_shadow: bool = struct.field(pytree_node=False, default=True)
+    n_dir_sample: int = struct.field(pytree_node=False, default=4)
+    # flattened BVH (threaded layout; see bvh.py)
+    bvh_min: jnp.ndarray = None
+    bvh_max: jnp.ndarray = None
+    bvh_miss: jnp.ndarray = None
+    bvh_leaf_start: jnp.ndarray = None
+    bvh_leaf_count: jnp.ndarray = None
+    bvh_prims: jnp.ndarray = None
+    bvh_leaf_size: int = struct.field(pytree_node=False, default=4)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+class Scene:
+    """Host-side scene container (reference: Scene.hpp:24-152).
+
+    Defaults: rr_rate=0.7, n_dir_sample=4, enable_shadow=True
+    (Scene.hpp:25-28). `add` splits emitters by material emission like
+    Scene::Add (Scene.hpp:104-109).
+    """
+
+    def __init__(self, camera: Optional[Camera] = None):
+        self.camera = camera if camera is not None else Camera()
+        self.meshes: list[TriangleMesh] = []
+        self.spheres: list[Sphere] = []
+        self.rr_rate = 0.7
+        self.enable_shadow = True
+        self.n_dir_sample = 4
+        self.background = np.zeros(3, dtype=np.float32)
+        self.env_pixels: Optional[np.ndarray] = None  # (H, W, 3) float in [0,1]
+
+    def add(self, obj) -> None:
+        if isinstance(obj, TriangleMesh):
+            self.meshes.append(obj)
+        elif isinstance(obj, Sphere):
+            self.spheres.append(obj)
+        else:
+            raise TypeError(f"cannot add {type(obj)!r} to scene")
+
+    def set_rr_rate(self, rr: float) -> None:
+        # min(rr, 0.99) like Scene::setRrRate (Scene.hpp:110-113).
+        self.rr_rate = min(float(rr), 0.99)
+
+    def load_env_map(self, path) -> None:
+        """Equirect PNG → float RGB in [0,1] (Scene.hpp:39-57)."""
+        img = read_png(path)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        self.env_pixels = img[:, :, :3].astype(np.float32) / 255.0
+
+    def set_background(self, color) -> None:
+        self.background = np.asarray(color, dtype=np.float32)
+
+    # -- compilation -------------------------------------------------------
+
+    def compile(
+        self,
+        bvh_leaf_size: int = 4,
+        bvh_method: str = "sah",
+        tri_pad: int = 64,
+    ) -> ScenePack:
+        # Material table: dedupe by object identity.
+        mats: list[Material] = []
+        mat_index: dict[int, int] = {}
+        for obj in [*self.meshes, *self.spheres]:
+            if id(obj.material) not in mat_index:
+                mat_index[id(obj.material)] = len(mats)
+                mats.append(obj.material)
+        if not mats:
+            mats = [Material()]
+
+        # Triangles: concatenate all meshes.
+        pos_list, uv_list, mid_list = [], [], []
+        # Emitter bookkeeping: (mesh ordinal, tri global idx, area).
+        emt_tri, emt_mesh, emt_area, emt_mesh_area, lmesh_areas = [], [], [], [], []
+        tri_cursor = 0
+        for mesh in self.meshes:
+            f = mesh.positions.shape[0]
+            pos_list.append(mesh.positions.astype(np.float32))
+            uv_list.append(mesh.texcoords.astype(np.float32))
+            mid_list.append(
+                np.full(f, mat_index[id(mesh.material)], dtype=np.int32)
+            )
+            if mesh.has_emit:
+                ordinal = len(lmesh_areas)
+                areas = mesh.areas.astype(np.float64)
+                lmesh_areas.append(float(areas.sum()))
+                emt_tri.extend(range(tri_cursor, tri_cursor + f))
+                emt_mesh.extend([ordinal] * f)
+                emt_area.extend(areas.tolist())
+                emt_mesh_area.extend([float(areas.sum())] * f)
+            tri_cursor += f
+        for sph in self.spheres:
+            if sph.has_emit:
+                raise NotImplementedError(
+                    "emissive spheres are not supported yet; the reference "
+                    "scenes use mesh lights only (main.cpp:303-309)"
+                )
+
+        n_tris = tri_cursor
+        t_pad = _round_up(n_tris, tri_pad)
+        pos = (
+            np.concatenate(pos_list, axis=0)
+            if pos_list
+            else np.zeros((0, 3, 3), np.float32)
+        )
+        uv = (
+            np.concatenate(uv_list, axis=0)
+            if uv_list
+            else np.zeros((0, 3, 2), np.float32)
+        )
+        mid = np.concatenate(mid_list) if mid_list else np.zeros(0, np.int32)
+
+        v0 = np.zeros((t_pad, 3), np.float32)
+        e1 = np.zeros((t_pad, 3), np.float32)
+        e2 = np.zeros((t_pad, 3), np.float32)
+        e2[:, 1] = 1.0  # make padding rows' [e1|e2|n] trivially non-singular
+        e1[:, 0] = 1.0
+        uvs = np.zeros((t_pad, 3, 2), np.float32)
+        tmat = np.zeros(t_pad, np.int32)
+        valid = np.zeros(t_pad, bool)
+        if n_tris:
+            v0[:n_tris] = pos[:, 0]
+            e1[:n_tris] = pos[:, 1] - pos[:, 0]
+            e2[:n_tris] = pos[:, 2] - pos[:, 0]
+            uvs[:n_tris] = uv
+            tmat[:n_tris] = mid
+            valid[:n_tris] = True
+
+        nraw = np.cross(e1, e2)
+        nr2 = np.sum(nraw * nraw, axis=-1)
+        nlen = np.sqrt(np.maximum(nr2, 1e-30))
+        n_unit = nraw / nlen[:, None]
+        # Degenerate (zero-area) real triangles can't be hit; invalidate them
+        # so the singular matrix below never sees them.
+        degenerate = nr2 < 1e-24
+        valid &= ~degenerate
+        basis = np.stack([e1, e2, nraw], axis=-1)  # (T,3,3) columns
+        basis[degenerate] = np.eye(3, dtype=np.float32)
+        w = np.linalg.inv(basis.astype(np.float64)).astype(np.float32)
+        c = np.einsum("tij,tj->ti", w, v0).astype(np.float32)
+
+        # Spheres.
+        n_spheres = len(self.spheres)
+        s_pad = max(n_spheres, 1)
+        sph_c = np.zeros((s_pad, 3), np.float32)
+        sph_r = np.zeros(s_pad, np.float32)  # radius 0 ⇒ unhittable padding
+        sph_mat = np.zeros(s_pad, np.int32)
+        for i, s in enumerate(self.spheres):
+            sph_c[i] = np.asarray(s.center, np.float32)
+            sph_r[i] = np.float32(s.radius)
+            sph_mat[i] = mat_index[id(s.material)]
+
+        # Material table arrays.
+        m = len(mats)
+        mat_type = np.array([int(x.mtype) for x in mats], np.int32)
+        mat_ior_a = np.array([x.ior_a for x in mats], np.float32)
+        mat_ior_b = np.array([x.ior_b for x in mats], np.float32)
+        mat_rough = np.array([x.roughness for x in mats], np.float32)
+        mat_refl = np.array([x.base_reflectance for x in mats], np.float32)
+        mat_emission = np.array([x.emission for x in mats], np.float32)
+        mat_textured = np.array([x.textured for x in mats], bool)
+        mat_emissive = np.array([x.has_emission for x in mats], bool)
+        mat_dirac = np.array([x.is_dirac for x in mats], bool)
+
+        # Emitters. Intra-mesh inclusive cumulative areas reproduce the
+        # reference's BVH-area-descent light pick with its sqrt(u) warp
+        # (BVH.cpp:118-135); pdf is 1/mesh_area (BVH.cpp:122-135 net effect).
+        n_emitters = len(emt_tri)
+        e_pad = max(n_emitters, 1)
+        a_emt_tri = np.zeros(e_pad, np.int32)
+        a_emt_mesh = np.full(e_pad, -1, np.int32)
+        a_intra = np.zeros(e_pad, np.float32)
+        a_mesh_area = np.ones(e_pad, np.float32)
+        if n_emitters:
+            a_emt_tri[:n_emitters] = emt_tri
+            a_emt_mesh[:n_emitters] = emt_mesh
+            intra = np.zeros(n_emitters, np.float64)
+            acc: dict[int, float] = {}
+            for i in range(n_emitters):
+                k = emt_mesh[i]
+                acc[k] = acc.get(k, 0.0) + emt_area[i]
+                intra[i] = acc[k]
+            a_intra[:n_emitters] = intra.astype(np.float32)
+            a_mesh_area[:n_emitters] = np.asarray(emt_mesh_area, np.float32)
+        l_pad = max(len(lmesh_areas), 1)
+        a_lmesh_cum = np.zeros(l_pad, np.float32)
+        if lmesh_areas:
+            a_lmesh_cum[: len(lmesh_areas)] = np.cumsum(lmesh_areas)
+        total_area = float(sum(lmesh_areas))
+
+        # Environment map.
+        if self.env_pixels is not None:
+            env = self.env_pixels.astype(np.float32)
+            use_env = True
+        else:
+            env = np.zeros((1, 1, 3), np.float32)
+            use_env = False
+
+        # Unified BVH over triangles + spheres (prim id >= t_pad ⇒ sphere).
+        prim_min = np.concatenate(
+            [
+                np.minimum(np.minimum(v0, v0 + e1), v0 + e2)[:n_tris],
+                sph_c[:n_spheres] - sph_r[:n_spheres, None],
+            ]
+        )
+        prim_max = np.concatenate(
+            [
+                np.maximum(np.maximum(v0, v0 + e1), v0 + e2)[:n_tris],
+                sph_c[:n_spheres] + sph_r[:n_spheres, None],
+            ]
+        )
+        flat = build_bvh(prim_min, prim_max, leaf_size=bvh_leaf_size, method=bvh_method)
+        # Remap prim ids: triangles stay, spheres shift to >= t_pad.
+        prim_ids = flat.prim_ids.copy()
+        prim_ids[prim_ids >= n_tris] += t_pad - n_tris
+        p_pad = _round_up(prim_ids.shape[0], 8)
+        a_prims = np.full(p_pad, -1, np.int32)
+        a_prims[: prim_ids.shape[0]] = prim_ids
+
+        rr = np.float32(self.rr_rate)
+        return ScenePack(
+            tri_v0=jnp.asarray(v0),
+            tri_e1=jnp.asarray(e1),
+            tri_e2=jnp.asarray(e2),
+            tri_n=jnp.asarray(n_unit.astype(np.float32)),
+            tri_w=jnp.asarray(w),
+            tri_c=jnp.asarray(c),
+            tri_nr2=jnp.asarray(nr2.astype(np.float32)),
+            tri_uv=jnp.asarray(uvs),
+            tri_mat=jnp.asarray(tmat),
+            tri_valid=jnp.asarray(valid),
+            sph_c=jnp.asarray(sph_c),
+            sph_r=jnp.asarray(sph_r),
+            sph_mat=jnp.asarray(sph_mat),
+            mat_type=jnp.asarray(mat_type),
+            mat_ior_a=jnp.asarray(mat_ior_a),
+            mat_ior_b=jnp.asarray(mat_ior_b),
+            mat_rough=jnp.asarray(mat_rough),
+            mat_refl=jnp.asarray(mat_refl),
+            mat_emission=jnp.asarray(mat_emission),
+            mat_textured=jnp.asarray(mat_textured),
+            mat_emissive=jnp.asarray(mat_emissive),
+            mat_dirac=jnp.asarray(mat_dirac),
+            emt_tri=jnp.asarray(a_emt_tri),
+            emt_mesh=jnp.asarray(a_emt_mesh),
+            emt_intra_cum=jnp.asarray(a_intra),
+            emt_mesh_area=jnp.asarray(a_mesh_area),
+            lmesh_cum=jnp.asarray(a_lmesh_cum),
+            emit_total_area=jnp.float32(total_area),
+            env_pixels=jnp.asarray(env),
+            background=jnp.asarray(self.background, dtype=jnp.float32),
+            rr_rate=rr,
+            inv_rr=np.float32(1.0 / max(self.rr_rate, 1e-6)),
+            n_tris=t_pad,
+            n_spheres=s_pad,
+            n_emitters=n_emitters,
+            use_env=use_env,
+            enable_shadow=bool(self.enable_shadow),
+            n_dir_sample=int(self.n_dir_sample),
+            bvh_min=jnp.asarray(flat.node_min),
+            bvh_max=jnp.asarray(flat.node_max),
+            bvh_miss=jnp.asarray(flat.node_miss),
+            bvh_leaf_start=jnp.asarray(flat.leaf_start),
+            bvh_leaf_count=jnp.asarray(flat.leaf_count),
+            bvh_prims=jnp.asarray(a_prims),
+            bvh_leaf_size=max(flat.max_leaf_count, 1),
+        )
