@@ -31,6 +31,7 @@ from jax import lax
 
 from mcpt_tpu.constants import EPSILON
 from mcpt_tpu.materials import MaterialType
+from mcpt_tpu.utils.gather import gather_rows
 from mcpt_tpu.utils.vec import dot, safe_normalize
 
 _SMOOTH_COND = int(MaterialType.SMOOTH_CONDUCTOR)
@@ -62,16 +63,18 @@ class MatLane(NamedTuple):
 
 
 def gather_material(pack, mat_ids) -> MatLane:
+    """One fused one-hot gather against mat_fat (layout in scene.py)."""
+    rows = gather_rows(pack.mat_fat, mat_ids)
     return MatLane(
-        mtype=pack.mat_type[mat_ids],
-        ior_a=pack.mat_ior_a[mat_ids],
-        ior_b=pack.mat_ior_b[mat_ids],
-        rough=pack.mat_rough[mat_ids],
-        refl=pack.mat_refl[mat_ids],
-        emission=pack.mat_emission[mat_ids],
-        textured=pack.mat_textured[mat_ids],
-        dirac=pack.mat_dirac[mat_ids],
-        emissive=pack.mat_emissive[mat_ids],
+        mtype=rows[:, 0].astype(jnp.int32),
+        ior_a=rows[:, 1],
+        ior_b=rows[:, 2],
+        rough=rows[:, 3],
+        refl=rows[:, 4:7],
+        emission=rows[:, 7:10],
+        textured=rows[:, 10] > 0.5,
+        dirac=rows[:, 11] > 0.5,
+        emissive=rows[:, 12] > 0.5,
     )
 
 

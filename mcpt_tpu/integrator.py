@@ -56,6 +56,7 @@ from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, T_MAX
 from mcpt_tpu.envmap import sample_env
 from mcpt_tpu.intersect import Hit, intersect, surface_at
 from mcpt_tpu.lights import sample_light
+from mcpt_tpu.utils.gather import gather_rows
 from mcpt_tpu.utils.vec import dot, reflect, safe_normalize
 
 
@@ -115,12 +116,28 @@ class PathStats(NamedTuple):
     rays: jnp.ndarray  # () total rays traced (primary + shadow + bounce)
 
 
-@partial(jax.jit, static_argnames=("max_bounces", "method"))
-def trace_paths(pack, o, d, lam, chan, key, max_bounces: int = 8, method: str = "auto"):
+@partial(jax.jit, static_argnames=("max_bounces", "method", "early_exit"))
+def trace_paths(
+    pack,
+    o,
+    d,
+    lam,
+    chan,
+    key,
+    max_bounces: int = 8,
+    method: str = "auto",
+    early_exit: bool = True,
+):
     """Radiance for a batch of primary rays.
 
     o, d: (B,3); lam: (B,) wavelength in µm; chan: (B,) int32 RGB channel.
     Returns (radiance (B,), PathStats).
+
+    early_exit=True runs the bounce loop as a `lax.while_loop` that stops as
+    soon as every lane has terminated (RR kills ~(1-rrRate) of lanes per
+    bounce, and whole-miss tiles exit after one step) — identical results,
+    large speedup. Use early_exit=False (pure scan) when the computation must
+    be differentiable (lax.while_loop has no reverse-mode rule).
     """
     b = o.shape[0]
     hit0 = intersect(pack, o, d, method=method)
@@ -128,9 +145,9 @@ def trace_paths(pack, o, d, lam, chan, key, max_bounces: int = 8, method: str = 
     shadow_rays_per_vertex = pack.n_dir_sample if pack.n_emitters else 0
 
     def body(carry, depth):
-        o, d, t, prim, alive = carry
+        o, d, hit, alive = carry
         kd = jax.random.fold_in(key, depth)
-        surf = surface_at(pack, o, d, Hit(t, prim))
+        surf = surface_at(pack, o, d, hit)
         happened = surf.happened
         wo = -d
 
@@ -182,8 +199,9 @@ def trace_paths(pack, o, d, lam, chan, key, max_bounces: int = 8, method: str = 
             refract(m, d, mfn, lam),
         )
         nxt = intersect(pack, p_new, wi, method=method)
-        nxt_mat = jnp.where(nxt.prim >= 0, _prim_mat(pack, nxt.prim), 0)
-        nxt_emissive = (nxt.prim >= 0) & pack.mat_emissive[nxt_mat]
+        nxt_emissive = (nxt.prim >= 0) & (
+            gather_rows(pack.prim_emissive, jnp.maximum(nxt.prim, 0))[:, 0] > 0.5
+        )
 
         ev = eval_bsdf(m, wi, wo, surf.n, lam, surf.uv, chan, branch_reflect)
         pv = pdf(m, wi, wo, surf.n, lam, branch_reflect)
@@ -223,13 +241,44 @@ def trace_paths(pack, o, d, lam, chan, key, max_bounces: int = 8, method: str = 
         n_rays = jnp.sum(
             jnp.where(at_vertex, 1 + shadow_rays_per_vertex, 0)
         )
-        carry = (p_new, wi, nxt.t, nxt.prim, cont)
+        carry = (p_new, wi, nxt, cont)
         return carry, (l_dir, w, leaf, terminal, n_rays)
 
-    carry0 = (o, d, hit0.t, hit0.prim, alive0)
-    _, (l_dirs, ws, leaves, terminals, ray_counts) = lax.scan(
-        body, carry0, jnp.arange(max_bounces)
-    )
+    carry0 = (o, d, hit0, alive0)
+    if early_exit:
+        # while_loop over bounces: stop when the whole pool is dead. Records
+        # live in preallocated (D, B) buffers updated in place.
+        rec0 = (
+            jnp.zeros((max_bounces, b), jnp.float32),  # l_dir
+            jnp.zeros((max_bounces, b), jnp.float32),  # w
+            jnp.zeros((max_bounces, b), jnp.float32),  # leaf
+            jnp.ones((max_bounces, b), bool),  # terminal
+            jnp.zeros((max_bounces,), jnp.int32),  # ray counts
+        )
+
+        def w_cond(state):
+            depth, carry, _ = state
+            return (depth < max_bounces) & jnp.any(carry[3])
+
+        def w_body(state):
+            depth, carry, recs = state
+            carry, (l_dir, w, leaf, terminal, n_rays) = body(carry, depth)
+            recs = (
+                recs[0].at[depth].set(l_dir),
+                recs[1].at[depth].set(w),
+                recs[2].at[depth].set(leaf),
+                recs[3].at[depth].set(terminal),
+                recs[4].at[depth].set(n_rays),
+            )
+            return depth + 1, carry, recs
+
+        _, _, (l_dirs, ws, leaves, terminals, ray_counts) = lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), carry0, rec0)
+        )
+    else:
+        _, (l_dirs, ws, leaves, terminals, ray_counts) = lax.scan(
+            body, carry0, jnp.arange(max_bounces)
+        )
 
     # Reverse fold reproducing the nested per-level clamps (Scene.cpp:180-183).
     def fold(l_next, rec):
@@ -250,12 +299,3 @@ def trace_paths(pack, o, d, lam, chan, key, max_bounces: int = 8, method: str = 
     )
     stats = PathStats(rays=jnp.sum(ray_counts) + b)
     return radiance, stats
-
-
-def _prim_mat(pack, prim):
-    """Material id for a unified primitive index (tri or sphere)."""
-    n_tris = pack.tri_v0.shape[0]
-    is_tri = prim < n_tris
-    tid = jnp.clip(prim, 0, n_tris - 1)
-    sid = jnp.clip(prim - n_tris, 0, pack.sph_r.shape[0] - 1)
-    return jnp.where(is_tri, pack.tri_mat[tid], pack.sph_mat[sid])

@@ -27,16 +27,21 @@ import jax.numpy as jnp
 from jax import lax
 
 from mcpt_tpu.constants import EPSILON, T_MAX
+from mcpt_tpu.utils.gather import gather_rows
 
 _HI = lax.Precision.HIGHEST
 
 
 class Hit(NamedTuple):
     """Nearest-hit record. prim: triangle index, or n_tris + sphere index,
-    or -1 for a miss. t is T_MAX on miss."""
+    or -1 for a miss. t is T_MAX on miss. (u,v) are the triangle barycentrics
+    of the winner (0 for spheres/misses) — carried here so shading never
+    recomputes the intersection."""
 
     t: jnp.ndarray  # (B,)
     prim: jnp.ndarray  # (B,) int32
+    u: jnp.ndarray  # (B,)
+    v: jnp.ndarray  # (B,)
 
 
 class Surface(NamedTuple):
@@ -116,8 +121,12 @@ def intersect_dense(pack, o, d) -> Hit:
     all_t = jnp.concatenate([t_arr, sph_t], axis=1)
     prim = jnp.argmin(all_t, axis=1).astype(jnp.int32)
     t_best = jnp.take_along_axis(all_t, prim[:, None], axis=1)[:, 0]
+    is_tri = prim < t_cnt
+    tid = jnp.where(is_tri, prim, 0)[:, None]
+    u_best = jnp.where(is_tri, jnp.take_along_axis(u, tid, axis=1)[:, 0], 0.0)
+    v_best = jnp.where(is_tri, jnp.take_along_axis(v, tid, axis=1)[:, 0], 0.0)
     prim = jnp.where(t_best < T_MAX, prim, -1)
-    return Hit(t=t_best, prim=prim)
+    return Hit(t=t_best, prim=prim, u=u_best, v=v_best)
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +157,7 @@ def _tri_test_gather(pack, pid, o, d):
         & (t >= 0.0)
         & pack.tri_valid[pid]
     )
-    return jnp.where(ok, t, T_MAX)
+    return jnp.where(ok, t, T_MAX), u, v
 
 
 def _sphere_test_gather(pack, sid, o, d):
@@ -186,11 +195,11 @@ def intersect_bvh(pack, o, d) -> Hit:
     leaf_size = pack.bvh_leaf_size
 
     def cond(state):
-        node, _, _ = state
+        node = state[0]
         return jnp.any(node >= 0)
 
     def body(state):
-        node, t_best, prim_best = state
+        node, t_best, prim_best, u_best, v_best = state
         active = node >= 0
         nidx = jnp.maximum(node, 0)
         nmin = pack.bvh_min[nidx]
@@ -213,7 +222,9 @@ def intersect_bvh(pack, o, d) -> Hit:
             slot_ok = is_leaf & (s < count)
             pid = jnp.where(slot_ok, pack.bvh_prims[start + s], 0)
             is_tri = pid < n_tris
-            t_tri = _tri_test_gather(pack, jnp.minimum(pid, n_tris - 1), o, d)
+            t_tri, u_tri, v_tri = _tri_test_gather(
+                pack, jnp.minimum(pid, n_tris - 1), o, d
+            )
             sid = jnp.clip(pid - n_tris, 0, pack.sph_r.shape[0] - 1)
             t_sph = _sphere_test_gather(pack, sid, o, d)
             t_cand = jnp.where(is_tri, t_tri, t_sph)
@@ -221,19 +232,24 @@ def intersect_bvh(pack, o, d) -> Hit:
             better = t_cand < t_best
             t_best = jnp.where(better, t_cand, t_best)
             prim_best = jnp.where(better, pid, prim_best)
+            u_best = jnp.where(better & is_tri, u_tri, jnp.where(better, 0.0, u_best))
+            v_best = jnp.where(better & is_tri, v_tri, jnp.where(better, 0.0, v_best))
 
         miss = pack.bvh_miss[nidx]
         interior_hit = hit_box & (start < 0)
         nxt = jnp.where(interior_hit, node + 1, miss)
         nxt = jnp.where(active, nxt, -1)
-        return nxt, t_best, prim_best
+        return nxt, t_best, prim_best, u_best, v_best
 
     node0 = jnp.zeros(b, jnp.int32)
     t0 = jnp.full(b, T_MAX, jnp.float32)
     p0 = jnp.full(b, -1, jnp.int32)
-    node, t_best, prim_best = lax.while_loop(cond, body, (node0, t0, p0))
+    z0 = jnp.zeros(b, jnp.float32)
+    node, t_best, prim_best, u_best, v_best = lax.while_loop(
+        cond, body, (node0, t0, p0, z0, z0)
+    )
     prim_best = jnp.where(t_best < T_MAX, prim_best, -1)
-    return Hit(t=t_best, prim=prim_best)
+    return Hit(t=t_best, prim=prim_best, u=u_best, v=v_best)
 
 
 def intersect(pack, o, d, method: str = "auto") -> Hit:
@@ -252,44 +268,33 @@ def intersect(pack, o, d, method: str = "auto") -> Hit:
 
 
 def surface_at(pack, o, d, hit: Hit) -> Surface:
-    """Gather normal / uv / material for the winning primitive per lane."""
+    """Shading info for the winning primitive per lane.
+
+    One one-hot MXU gather against the fused tri_shade / sph_shade tables
+    (see utils/gather.py — native TPU gathers measured 10-30x slower);
+    barycentrics come from the Hit record, so nothing is re-intersected.
+    """
     n_tris = pack.tri_v0.shape[0]
     happened = hit.prim >= 0
     is_tri = happened & (hit.prim < n_tris)
-    tid = jnp.clip(hit.prim, 0, n_tris - 1)
-    sid = jnp.clip(hit.prim - n_tris, 0, pack.sph_r.shape[0] - 1)
+    tid = jnp.where(is_tri, hit.prim, -1)
+    sid = jnp.where(happened & ~is_tri, hit.prim - n_tris, -1)
 
     p = o + d * hit.t[:, None]
 
-    # Triangle shading: recompute (u,v) from the Woop transform of the winner
-    # (cheaper than carrying per-candidate barycentrics through the argmin).
-    w = pack.tri_w[tid]  # (B,3,3)
-    c = pack.tri_c[tid]
-    dp = jnp.einsum("bij,bj->bi", w, d, precision=_HI)
-    op = jnp.einsum("bij,bj->bi", w, o, precision=_HI) - c
-    dz_safe = jnp.where(jnp.abs(dp[:, 2]) > 0.0, dp[:, 2], 1.0)
-    t_tri = -op[:, 2] / dz_safe
-    u = op[:, 0] + t_tri * dp[:, 0]
-    v = op[:, 1] + t_tri * dp[:, 1]
-    uv3 = pack.tri_uv[tid]  # (B,3,2)
-    uv_tri = (
-        (1.0 - u - v)[:, None] * uv3[:, 0] + u[:, None] * uv3[:, 1] + v[:, None] * uv3[:, 2]
-    )
-    n_tri = pack.tri_n[tid]
-    mat_tri = pack.tri_mat[tid]
+    ts = gather_rows(pack.tri_shade, tid)  # (B, 11); zero row when not a tri
+    u = hit.u[:, None]
+    v = hit.v[:, None]
+    uv_tri = (1.0 - u - v) * ts[:, 3:5] + u * ts[:, 5:7] + v * ts[:, 7:9]
+    ss = gather_rows(pack.sph_shade, sid)  # (B, 5); zero row when not a sphere
+    n_sph = p - ss[:, 0:3]
+    n_sph = n_sph / jnp.maximum(jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-20)
 
-    # Sphere shading.
-    n_sph = p - pack.sph_c[sid]
-    n_sph = n_sph / jnp.maximum(
-        jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-20
-    )
-    mat_sph = pack.sph_mat[sid]
-
-    n = jnp.where(is_tri[:, None], n_tri, n_sph)
+    n = jnp.where(is_tri[:, None], ts[:, 0:3], n_sph)
     uv = jnp.where(is_tri[:, None], uv_tri, jnp.zeros_like(uv_tri))
-    mat = jnp.where(is_tri, mat_tri, mat_sph)
+    mat = jnp.where(is_tri, ts[:, 9], ss[:, 3]).astype(jnp.int32)
     mat = jnp.where(happened, mat, 0)
-    emissive = happened & pack.mat_emissive[mat]
+    emissive = happened & (jnp.where(is_tri, ts[:, 10], ss[:, 4]) > 0.5)
     return Surface(
         happened=happened, p=p, n=n, uv=uv, mat=mat, emissive=emissive, t=hit.t
     )
@@ -320,12 +325,17 @@ def intersect_brute(pack, o, d) -> Hit:
             & (t >= 0.0)
             & pack.tri_valid
         )
-        return jnp.where(ok, t, T_MAX)
+        return jnp.where(ok, t, T_MAX), u, v
 
-    t_tri = jax.vmap(one)(o, d)
+    t_tri, u, v = jax.vmap(one)(o, d)
+    t_cnt = pack.tri_v0.shape[0]
     sph_t = _sphere_t(pack, o, d)
     all_t = jnp.concatenate([t_tri, sph_t], axis=1)
     prim = jnp.argmin(all_t, axis=1).astype(jnp.int32)
     t_best = jnp.take_along_axis(all_t, prim[:, None], axis=1)[:, 0]
+    is_tri = prim < t_cnt
+    tid = jnp.where(is_tri, prim, 0)[:, None]
+    u_best = jnp.where(is_tri, jnp.take_along_axis(u, tid, axis=1)[:, 0], 0.0)
+    v_best = jnp.where(is_tri, jnp.take_along_axis(v, tid, axis=1)[:, 0], 0.0)
     prim = jnp.where(t_best < T_MAX, prim, -1)
-    return Hit(t=t_best, prim=prim)
+    return Hit(t=t_best, prim=prim, u=u_best, v=v_best)

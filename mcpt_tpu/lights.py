@@ -18,6 +18,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from mcpt_tpu.utils.gather import gather_rows
+
 
 class LightSample(NamedTuple):
     p: jnp.ndarray  # (B, 3) point on the light
@@ -54,16 +56,14 @@ def sample_light(pack, u):
     last = jnp.max(jnp.where(same_mesh, idx[None, :], -1), axis=1)
     sel = jnp.where(sel >= e, last, sel).astype(jnp.int32)
     sel = jnp.clip(sel, 0, e - 1)
-    tri = pack.emt_tri[sel]
 
     # Stage 3: point in triangle with the sqrt warp (Triangle.hpp:71-76).
+    # Geometry/emission come from one fused one-hot gather (emt_fat layout in
+    # scene.py: v0, e1, e2, n, emit, 1/mesh_area).
+    row = gather_rows(pack.emt_fat, sel)
+    v0, e1v, e2v = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     x = jnp.sqrt(u[:, 2])[:, None]
     y = u[:, 3][:, None]
-    v0 = pack.tri_v0[tri]
-    v1 = v0 + pack.tri_e1[tri]
-    v2 = v0 + pack.tri_e2[tri]
-    p = v0 * (1.0 - x) + v1 * (x * (1.0 - y)) + v2 * (x * y)
-    n = pack.tri_n[tri]
-    emit = pack.mat_emission[pack.tri_mat[tri]]
+    p = v0 * (1.0 - x) + (v0 + e1v) * (x * (1.0 - y)) + (v0 + e2v) * (x * y)
     pdf = 1.0 / jnp.maximum(mesh_area, 1e-20)
-    return LightSample(p=p, n=n, emit=emit, pdf=pdf)
+    return LightSample(p=p, n=row[:, 9:12], emit=row[:, 12:15], pdf=pdf)

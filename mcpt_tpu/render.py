@@ -49,6 +49,10 @@ def _render_tile(pack, camera, pixel_ids, key, n_sub, max_bounces, method):
         fb_acc, ray_acc = acc
         k1, k2 = jax.random.split(k)
         o, d = generate_rays(camera, pixel_ids, k1)
+        # Fusing camera-ray generation into the integrator program SIGSEGVs
+        # the TPU (Mosaic/XLA) compiler as of libtpu in this image; a fusion
+        # barrier here costs one (P,3)x2 materialization and avoids it.
+        o, d = jax.lax.optimization_barrier((o, d))
         o3 = jnp.repeat(o, 3, axis=0)
         d3 = jnp.repeat(d, 3, axis=0)
         rad, stats = trace_paths(

@@ -147,6 +147,13 @@ class ScenePack:
     emt_mesh_area: jnp.ndarray  # (E,) total area of the owning mesh
     lmesh_cum: jnp.ndarray  # (L,) inclusive cumulative mesh areas
     emit_total_area: jnp.ndarray  # () scalar
+    # Fused shading tables (single one-hot MXU gather per lookup; layouts
+    # documented in _build_fat_tables). Derived from the arrays above.
+    mat_fat: jnp.ndarray  # (M, 13)
+    tri_shade: jnp.ndarray  # (T, 11)
+    sph_shade: jnp.ndarray  # (S, 5)
+    prim_emissive: jnp.ndarray  # (T + S, 1) float 0/1
+    emt_fat: jnp.ndarray  # (E, 16)
     # environment
     env_pixels: jnp.ndarray  # (H, W, 3) float32; (1,1,3) dummy when unused
     background: jnp.ndarray  # (3,)
@@ -381,6 +388,56 @@ class Scene:
         a_prims = np.full(p_pad, -1, np.int32)
         a_prims[: prim_ids.shape[0]] = prim_ids
 
+        # Fused shading tables.
+        mat_fat = np.concatenate(
+            [
+                mat_type[:, None].astype(np.float32),
+                mat_ior_a[:, None],
+                mat_ior_b[:, None],
+                mat_rough[:, None],
+                mat_refl,
+                mat_emission,
+                mat_textured[:, None].astype(np.float32),
+                mat_dirac[:, None].astype(np.float32),
+                mat_emissive[:, None].astype(np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        tri_emissive = mat_emissive[tmat] & valid
+        tri_shade = np.concatenate(
+            [
+                n_unit.astype(np.float32),
+                uvs.reshape(t_pad, 6),
+                tmat[:, None].astype(np.float32),
+                tri_emissive[:, None].astype(np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        sph_emissive = mat_emissive[sph_mat] & (sph_r > 0)
+        sph_shade = np.concatenate(
+            [
+                sph_c,
+                sph_mat[:, None].astype(np.float32),
+                sph_emissive[:, None].astype(np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        prim_emissive = np.concatenate([tri_emissive, sph_emissive]).astype(
+            np.float32
+        )[:, None]
+        emt_v0 = v0[a_emt_tri]
+        emt_fat = np.concatenate(
+            [
+                emt_v0,
+                e1[a_emt_tri],
+                e2[a_emt_tri],
+                n_unit[a_emt_tri].astype(np.float32),
+                mat_emission[tmat[a_emt_tri]],
+                (1.0 / np.maximum(a_mesh_area, 1e-20))[:, None],
+            ],
+            axis=1,
+        ).astype(np.float32)
+
         rr = np.float32(self.rr_rate)
         return ScenePack(
             tri_v0=jnp.asarray(v0),
@@ -405,6 +462,11 @@ class Scene:
             mat_textured=jnp.asarray(mat_textured),
             mat_emissive=jnp.asarray(mat_emissive),
             mat_dirac=jnp.asarray(mat_dirac),
+            mat_fat=jnp.asarray(mat_fat),
+            tri_shade=jnp.asarray(tri_shade),
+            sph_shade=jnp.asarray(sph_shade),
+            prim_emissive=jnp.asarray(prim_emissive),
+            emt_fat=jnp.asarray(emt_fat),
             emt_tri=jnp.asarray(a_emt_tri),
             emt_mesh=jnp.asarray(a_emt_mesh),
             emt_intra_cum=jnp.asarray(a_intra),
