@@ -41,7 +41,8 @@ def test_light_samples_on_emitter_with_mesh_pdf():
     assert (np.abs(p[:, [0, 2]]) <= 2.0 + 1e-5).all()
     # pdf = 1/mesh_area = 1/16.
     np.testing.assert_allclose(np.asarray(ls.pdf), 1.0 / 16.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(ls.n), [[0, 1, 0]] * 5000, atol=1e-6)
+    # Winding gives a downward-facing light, like the reference ceiling light.
+    np.testing.assert_allclose(np.asarray(ls.n), [[0, -1, 0]] * 5000, atol=1e-6)
     # Emission is the light SPD.
     assert np.asarray(ls.emit)[0, 0] > 20
 
