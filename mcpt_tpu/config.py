@@ -1,0 +1,218 @@
+"""conf.json-compatible configuration and scene construction.
+
+Reproduces `src/main.cpp:17-330`: the material library, the camera/renderer/
+scene key handling, and the chessboard "final product" scene assembly
+(king + soldier grid + floor + light + optional diamond; the backwall is
+built but NOT added — main.cpp:312 comments it out).
+
+The reference parser has several quirks (SURVEY.md §5 "dead/buggy keys").
+`strict_parity=True` (default) replicates them; `strict_parity=False` gives
+the sane behavior:
+
+| key | parity behavior (main.cpp) | fixed behavior |
+|---|---|---|
+| renderer.path | ignored; only renderer.output read (main.cpp:191) | path accepted as fallback |
+| renderer.parrallelism | ignored (threads hardcoded, Renderer.cpp:16) | ignored (meaningless on TPU) |
+| scene.directLightSample | ignored; NEE always 4 (Scene.hpp:28,114) | honored |
+| scene.addDiamond | true if key present AND bool — even `false` (main.cpp:197-199) | honored |
+| scene.lightBrightness | only read if the JSON number is a float (is_number_float, main.cpp:279) | any number |
+| camera.focusDistance / apertureRadius | only read when useDOF is true (main.cpp:178-183) | always read |
+"""
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from mcpt_tpu.builtin_scenes import (
+    chess_backwall_mesh,
+    chess_floor_mesh,
+    chess_light_mesh,
+)
+from mcpt_tpu.camera import Camera
+from mcpt_tpu.materials import standard_materials
+from mcpt_tpu.scene import Scene, TriangleMesh
+
+DEFAULT_MODELS_DIR = os.environ.get("MCPT_MODELS_DIR", "/root/reference/models")
+
+
+def _is_v3(v):
+    """main.cpp:11-15."""
+    return (
+        isinstance(v, list)
+        and len(v) == 3
+        and all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v)
+    )
+
+
+def _is_num(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def load_config(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_scene(
+    conf: dict,
+    models_dir=DEFAULT_MODELS_DIR,
+    strict_parity: bool = True,
+):
+    """conf dict → (Scene, render options dict). Mirrors main.cpp:130-330."""
+    models_dir = Path(models_dir)
+    materials = standard_materials()
+
+    # Defaults (main.cpp:23-31, 137-144).
+    w, h = 384, 384
+    cam_kw = dict(
+        position=(278.0, 273.0, -800.0),
+        target=(278.0, 273.0, 0.0),
+        up=(0.0, 1.0, 0.0),
+        fov=40.0,
+        use_dof=False,
+        focal_distance=100.0,
+        aperture_radius=5.0,
+    )
+    spp = 2048  # Renderer.hpp:22
+    out_path = "./output.png"  # Renderer.hpp:19
+    use_diamond = False
+    model_quality = "low"
+    king_pos = np.zeros(3)
+    king_mat = materials["rough_plastic"]
+    light_pos = np.array([0.0, 200.0, 0.0])
+    wall_mat = materials["rough_plastic"]
+    floor_mat = materials["rough_plastic"]
+    brightness = 1.0
+
+    scene = Scene()
+    n_dir_sample = None
+
+    cc = conf.get("camera") or {}
+    if _is_num(cc.get("width")):
+        w = int(cc["width"])
+    if _is_num(cc.get("height")):
+        h = int(cc["height"])
+    if _is_num(cc.get("fov")):
+        cam_kw["fov"] = float(cc["fov"])
+    for key, name in (("position", "position"), ("target", "target"), ("up", "up")):
+        if _is_v3(cc.get(key)):
+            cam_kw[name] = tuple(float(x) for x in cc[key])
+    if isinstance(cc.get("useDOF"), bool):
+        cam_kw["use_dof"] = cc["useDOF"]
+    dof_gate = cam_kw["use_dof"] if strict_parity else True
+    if dof_gate and _is_num(cc.get("focusDistance")):
+        cam_kw["focal_distance"] = float(cc["focusDistance"])
+    if dof_gate and _is_num(cc.get("apertureRadius")):
+        cam_kw["aperture_radius"] = float(cc["apertureRadius"])
+
+    rc = conf.get("renderer") or {}
+    if _is_num(rc.get("spp")):
+        spp = int(rc["spp"])
+    if isinstance(rc.get("output"), str):
+        out_path = rc["output"]
+    elif not strict_parity and isinstance(rc.get("path"), str):
+        out_path = rc["path"]
+
+    sc = conf.get("scene") or {}
+    if strict_parity:
+        if isinstance(sc.get("addDiamond"), bool):
+            use_diamond = True  # main.cpp:197-199 (yes, even for false)
+    else:
+        use_diamond = bool(sc.get("addDiamond", False))
+    if isinstance(sc.get("model_quality"), str):
+        model_quality = sc["model_quality"]
+    if isinstance(sc.get("includeShadow"), bool):
+        scene.enable_shadow = sc["includeShadow"]
+    if _is_num(sc.get("RussianRouletteRate")):
+        scene.set_rr_rate(float(sc["RussianRouletteRate"]))
+    if not strict_parity and _is_num(sc.get("directLightSample")):
+        n_dir_sample = int(sc["directLightSample"])
+
+    env = sc.get("envMap")
+    if isinstance(env, str):
+        env_path = Path(env)
+        if not env_path.is_absolute():
+            # conf paths are relative to the reference build dir; try both.
+            cand = [env_path, models_dir.parent / env_path.name,
+                    models_dir / "envoMaps" / env_path.name,
+                    Path(str(env_path).replace("../models", str(models_dir)))]
+            env_path = next((c for c in cand if c.exists()), env_path)
+        try:
+            scene.load_env_map(env_path)
+        except OSError as e:
+            # Scene.hpp:42-46: log and fall back to background.
+            print(f"Error loading env map ({env}): {e}")
+    elif _is_v3(env):
+        scene.set_background(env)
+
+    if _is_v3(sc.get("kingPosition")):
+        king_pos = np.asarray(sc["kingPosition"], np.float64)
+    if isinstance(sc.get("kingMaterial"), str):
+        king_mat = materials[sc["kingMaterial"]]
+
+    soldiers = []
+    if (
+        "soldierLeftRowPosition" in sc
+        and "soldierRightRowPosition" in sc
+        and "soldierMaterials" in sc
+    ):
+        left = np.asarray(sc["soldierLeftRowPosition"], np.float64)
+        right = np.asarray(sc["soldierRightRowPosition"], np.float64)
+        xs = float(sc.get("soldierXSpacing", 0.0))
+        ys = float(sc.get("soldierYSpacing", 0.0))
+        zs = float(sc.get("soldierZSpacing", 0.0))
+        count = int(sc.get("soldierCountPerRow", 0))
+        mat_names = sc.get("soldierMaterials", [])
+        for i in range(count):
+            off = np.array([i * xs, i * ys, i * zs])
+            lm = (
+                materials[mat_names[i]]
+                if i < len(mat_names)
+                else materials["rough_plastic"]
+            )
+            rm = (
+                materials[mat_names[i + count]]
+                if (i + count) < len(mat_names)
+                else materials["rough_plastic"]
+            )
+            soldiers.append((left + off, lm))
+            soldiers.append((right + off, rm))
+
+    if _is_v3(sc.get("lightPosition")):
+        light_pos = np.asarray(sc["lightPosition"], np.float64)
+    lb = sc.get("lightBrightness")
+    if (isinstance(lb, float) if strict_parity else _is_num(lb)):
+        brightness = float(lb)
+    if isinstance(sc.get("floorMaterial"), str):
+        floor_mat = materials[sc["floorMaterial"]]
+        floor_mat.textured = bool(sc.get("floor_isTextured", False))
+    if isinstance(sc.get("wallMaterial"), str):
+        wall_mat = materials[sc["wallMaterial"]]
+
+    # ---- scene assembly (main.cpp:296-330) ----
+    king_model = models_dir / f"{model_quality}_king.obj"
+    soldier_model = models_dir / f"{model_quality}_soldier.obj"
+
+    scene.add(chess_light_mesh(brightness, light_pos))
+    scene.add(chess_floor_mesh(floor_mat))
+    # NB: the backwall is constructed but never added (main.cpp:312);
+    # wall_mat is kept for config-compat only.
+    _ = chess_backwall_mesh(wall_mat)
+    scene.add(TriangleMesh.from_obj(king_model, king_mat, king_pos, name="king"))
+    for pos, mat in soldiers:
+        scene.add(TriangleMesh.from_obj(soldier_model, mat, pos, name="soldier"))
+    if use_diamond:
+        scene.add(
+            TriangleMesh.from_obj(
+                models_dir / "diamond.obj", materials["smooth_glass_gem"], name="diamond"
+            )
+        )
+    if n_dir_sample is not None:
+        scene.n_dir_sample = n_dir_sample
+
+    scene.camera = Camera(width=w, height=h, **cam_kw)
+    opts = {"spp": spp, "output": out_path}
+    return scene, opts

@@ -252,9 +252,46 @@ def intersect_bvh(pack, o, d) -> Hit:
     return Hit(t=t_best, prim=prim_best, u=u_best, v=v_best)
 
 
+def intersect_pallas(pack, o, d) -> Hit:
+    """Triangles via the fused Pallas kernel; spheres via jnp (S is tiny)."""
+    from mcpt_tpu.kernels.intersect_pallas import intersect_tris_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    t_tri, prim_tri, u, v = intersect_tris_pallas(
+        pack.tri_kern, o, d, interpret=interpret
+    )
+    sph_t = _sphere_t(pack, o, d)
+    s_min = jnp.min(sph_t, axis=1)
+    s_arg = jnp.argmin(sph_t, axis=1).astype(jnp.int32)
+    sph_wins = s_min < t_tri
+    t_best = jnp.where(sph_wins, s_min, t_tri)
+    n_tris = pack.tri_v0.shape[0]
+    prim = jnp.where(sph_wins, n_tris + s_arg, prim_tri)
+    prim = jnp.where(t_best < T_MAX, prim, -1)
+    u = jnp.where(sph_wins, 0.0, u)
+    v = jnp.where(sph_wins, 0.0, v)
+    return Hit(t=t_best, prim=prim, u=u, v=v)
+
+
+# Triangle-table size above which the all-pairs paths give way to the BVH.
+DENSE_MAX_TRIS = 4096
+
+# Gate: prefer the fused Pallas kernel on TPU for small scenes. Off until the
+# kernel is validated on real hardware (export MCPT_PALLAS=1 to enable).
+import os
+
+_USE_PALLAS = os.environ.get("MCPT_PALLAS", "0") == "1"
+
+
 def intersect(pack, o, d, method: str = "auto") -> Hit:
     if method == "auto":
-        method = "dense" if pack.tri_v0.shape[0] <= 2048 else "bvh"
+        if pack.tri_v0.shape[0] <= DENSE_MAX_TRIS:
+            use_pallas = _USE_PALLAS and jax.default_backend() == "tpu"
+            method = "pallas" if use_pallas else "dense"
+        else:
+            method = "bvh"
+    if method == "pallas":
+        return intersect_pallas(pack, o, d)
     if method == "dense":
         return intersect_dense(pack, o, d)
     if method == "bvh":

@@ -154,6 +154,9 @@ class ScenePack:
     sph_shade: jnp.ndarray  # (S, 5)
     prim_emissive: jnp.ndarray  # (T + S, 1) float 0/1
     emt_fat: jnp.ndarray  # (E, 16)
+    # Pallas kernel layout: triangles along the lane (last) axis.
+    # Rows: 9 Woop matrix entries (row-major), c0..c2, nr2, valid; padded to 16.
+    tri_kern: jnp.ndarray  # (16, T)
     # environment
     env_pixels: jnp.ndarray  # (H, W, 3) float32; (1,1,3) dummy when unused
     background: jnp.ndarray  # (3,)
@@ -227,7 +230,7 @@ class Scene:
         self,
         bvh_leaf_size: int = 4,
         bvh_method: str = "sah",
-        tri_pad: int = 64,
+        tri_pad: int = 128,
     ) -> ScenePack:
         # Material table: dedupe by object identity.
         mats: list[Material] = []
@@ -438,6 +441,12 @@ class Scene:
             axis=1,
         ).astype(np.float32)
 
+        tri_kern = np.zeros((16, t_pad), np.float32)
+        tri_kern[0:9] = w.reshape(t_pad, 9).T
+        tri_kern[9:12] = c.T
+        tri_kern[12] = nr2.astype(np.float32)
+        tri_kern[13] = valid.astype(np.float32)
+
         rr = np.float32(self.rr_rate)
         return ScenePack(
             tri_v0=jnp.asarray(v0),
@@ -467,6 +476,7 @@ class Scene:
             sph_shade=jnp.asarray(sph_shade),
             prim_emissive=jnp.asarray(prim_emissive),
             emt_fat=jnp.asarray(emt_fat),
+            tri_kern=jnp.asarray(tri_kern),
             emt_tri=jnp.asarray(a_emt_tri),
             emt_mesh=jnp.asarray(a_emt_mesh),
             emt_intra_cum=jnp.asarray(a_intra),
