@@ -4,24 +4,25 @@ The pure-XLA dense path (intersect.py) materializes (B, 3T) intermediates in
 HBM — measured bandwidth-bound at ~3e7 rays/s. This kernel keeps the whole
 triangle table in VMEM (laid out triangles-along-lanes, see scene.py
 `tri_kern`), streams ray blocks through, and keeps every per-(ray, triangle)
-temporary in registers/VMEM. HBM traffic drops to 24 B in + 16 B out per ray.
+temporary in registers/VMEM. HBM traffic drops to ~40 B per ray total.
 
 Semantics are identical to intersect.py's dense path (same unit-triangle
 transform, same reference det-epsilon / inclusive-barycentric accept rules,
 Triangle.hpp:222-252).
 
-Layout choices (see pallas_guide.md):
-- rays on the sublane axis (block of 256), triangles on the lane axis
-  (chunks of 128): every op is an (8,128)-tiled VPU op;
+Layout (see pallas_guide.md):
+- rays on the SUBLANE axis (blocks of 256, arrays shaped (B, 3)/(B, 4)),
+  triangles on the LANE axis (chunks of 128 from the (16, T) table): every
+  per-(ray, tri) op is an (8,128)-tiled VPU op and no transposes are ever
+  needed (a lane→sublane relayout hangs/chokes Mosaic);
 - per-chunk argmin via lane-iota + masked min — no gathers anywhere;
-- triangle count is static per compilation; the chunk loop is unrolled.
+- the chunk loop over T is static and unrolled.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -32,12 +33,12 @@ BLK_T = 128
 
 
 def _kernel(o_ref, d_ref, tri_ref, out_ref, *, n_chunks):
-    o0 = o_ref[0, :][:, None]
-    o1 = o_ref[1, :][:, None]
-    o2 = o_ref[2, :][:, None]
-    d0 = d_ref[0, :][:, None]
-    d1 = d_ref[1, :][:, None]
-    d2 = d_ref[2, :][:, None]
+    o0 = o_ref[:, 0:1]
+    o1 = o_ref[:, 1:2]
+    o2 = o_ref[:, 2:3]
+    d0 = d_ref[:, 0:1]
+    d1 = d_ref[:, 1:2]
+    d2 = d_ref[:, 2:3]
 
     t_best = jnp.full((BLK_B, 1), T_MAX, jnp.float32)
     prim_best = jnp.full((BLK_B, 1), -1.0, jnp.float32)
@@ -46,13 +47,14 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, n_chunks):
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLK_B, BLK_T), 1)
 
     for tc in range(n_chunks):
-        sl = slice(tc * BLK_T, (tc + 1) * BLK_T)
-        w = [tri_ref[r, sl][None, :] for r in range(9)]
-        c0 = tri_ref[9, sl][None, :]
-        c1 = tri_ref[10, sl][None, :]
-        c2 = tri_ref[11, sl][None, :]
-        nr2 = tri_ref[12, sl][None, :]
-        valid = tri_ref[13, sl][None, :]
+        lo = tc * BLK_T
+        hi = lo + BLK_T
+        w = [tri_ref[r : r + 1, lo:hi] for r in range(9)]
+        c0 = tri_ref[9:10, lo:hi]
+        c1 = tri_ref[10:11, lo:hi]
+        c2 = tri_ref[11:12, lo:hi]
+        nr2 = tri_ref[12:13, lo:hi]
+        valid = tri_ref[13:14, lo:hi]
 
         dp0 = d0 * w[0] + d1 * w[1] + d2 * w[2]
         dp1 = d0 * w[3] + d1 * w[4] + d2 * w[5]
@@ -78,7 +80,7 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, n_chunks):
         t_cand = jnp.where(ok, t_hit, T_MAX)
 
         chunk_min = jnp.min(t_cand, axis=1, keepdims=True)
-        # First lane achieving the min (ties -> lowest index, matching argmin).
+        # First lane achieving the min (ties -> lowest index, like argmin).
         is_min = t_cand == chunk_min
         lane_pick = jnp.min(
             jnp.where(is_min, lane, jnp.int32(BLK_T)), axis=1, keepdims=True
@@ -90,15 +92,15 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, n_chunks):
         better = chunk_min < t_best
         t_best = jnp.where(better, chunk_min, t_best)
         prim_best = jnp.where(
-            better, jnp.float32(tc * BLK_T) + lane_pick.astype(jnp.float32), prim_best
+            better, jnp.float32(lo) + lane_pick.astype(jnp.float32), prim_best
         )
         u_best = jnp.where(better, u_sel, u_best)
         v_best = jnp.where(better, v_sel, v_best)
 
-    out_ref[0, :] = t_best[:, 0]
-    out_ref[1, :] = prim_best[:, 0]
-    out_ref[2, :] = u_best[:, 0]
-    out_ref[3, :] = v_best[:, 0]
+    out_ref[:, 0:1] = t_best
+    out_ref[:, 1:2] = prim_best
+    out_ref[:, 2:3] = u_best
+    out_ref[:, 3:4] = v_best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -113,23 +115,23 @@ def intersect_tris_pallas(tri_kern, o, d, interpret: bool = False):
     assert t_cnt % BLK_T == 0, t_cnt
     b = o.shape[0]
     b_pad = ((b + BLK_B - 1) // BLK_B) * BLK_B
-    ot = jnp.zeros((3, b_pad), jnp.float32).at[:, :b].set(o.T)
-    dt = jnp.zeros((3, b_pad), jnp.float32).at[:, :b].set(d.T)
+    op = jnp.zeros((b_pad, 3), jnp.float32).at[:b].set(o)
+    dp = jnp.zeros((b_pad, 3), jnp.float32).at[:b].set(d)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_chunks=t_cnt // BLK_T),
-        out_shape=jax.ShapeDtypeStruct((4, b_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 4), jnp.float32),
         grid=(b_pad // BLK_B,),
         in_specs=[
-            pl.BlockSpec((3, BLK_B), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLK_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, t_cnt), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, BLK_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BLK_B, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(ot, dt, tri_kern)
+    )(op, dp, tri_kern)
 
-    t = out[0, :b]
-    prim = out[1, :b].astype(jnp.int32)
+    t = out[:b, 0]
+    prim = out[:b, 1].astype(jnp.int32)
     prim = jnp.where(t < T_MAX, prim, -1)
-    return t, prim, out[2, :b], out[3, :b]
+    return t, prim, out[:b, 2], out[:b, 3]

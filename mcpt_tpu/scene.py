@@ -54,7 +54,11 @@ class TriangleMesh:
         zoom: float = 1.0,
         name: str = "",
     ) -> "TriangleMesh":
-        mesh = load_obj(path)
+        from mcpt_tpu.native.native import obj_load_native
+
+        mesh = obj_load_native(path)
+        if mesh is None:
+            mesh = load_obj(path)
         material = material if material is not None else Material()
         pos = mesh["positions"] * np.float32(zoom) + np.asarray(
             translation, dtype=np.float32
@@ -383,7 +387,15 @@ class Scene:
                 sph_c[:n_spheres] + sph_r[:n_spheres, None],
             ]
         )
-        flat = build_bvh(prim_min, prim_max, leaf_size=bvh_leaf_size, method=bvh_method)
+        from mcpt_tpu.native.native import bvh_build_native
+
+        flat = bvh_build_native(
+            prim_min, prim_max, leaf_size=bvh_leaf_size, method=bvh_method
+        )
+        if flat is None:
+            flat = build_bvh(
+                prim_min, prim_max, leaf_size=bvh_leaf_size, method=bvh_method
+            )
         # Remap prim ids: triangles stay, spheres shift to >= t_pad.
         prim_ids = flat.prim_ids.copy()
         prim_ids[prim_ids >= n_tris] += t_pad - n_tris
