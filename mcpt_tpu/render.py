@@ -28,6 +28,7 @@ import numpy as np
 from mcpt_tpu.camera import Camera, generate_rays
 from mcpt_tpu.constants import WAVELEN_UM
 from mcpt_tpu.integrator import trace_paths
+from mcpt_tpu.utils.profiling import device_trace
 from mcpt_tpu.utils.progress import ProgressBar
 
 
@@ -80,6 +81,7 @@ def render_radiance(
     progress: bool = False,
     checkpoint_path: str | None = None,
     sharding=None,
+    trace_dir: str | None = None,
 ):
     """Full-image linear radiance (H, W, 3) numpy array + stats dict."""
     pack = scene_or_pack.compile() if hasattr(scene_or_pack, "compile") else scene_or_pack
@@ -112,6 +114,8 @@ def render_radiance(
     t0 = time.monotonic()
     work = 0
     total_work = n_tiles * n_chunks
+    trace_cm = device_trace(trace_dir)
+    trace_cm.__enter__()
     for tile in range(n_tiles):
         lo = tile * tile_pixels
         hi = min(lo + tile_pixels, n_pix)
@@ -143,6 +147,7 @@ def render_radiance(
                 )
         start_chunk[tile] = n_chunks
         fb[lo:hi] /= max(chunk_weights[tile], 1.0)
+    trace_cm.__exit__(None, None, None)
     if bar:
         bar.finish()
     elapsed = time.monotonic() - t0
