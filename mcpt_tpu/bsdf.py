@@ -34,6 +34,13 @@ from mcpt_tpu.materials import MaterialType
 from mcpt_tpu.utils.gather import gather_rows
 from mcpt_tpu.utils.vec import dot, safe_normalize
 
+def _ssqrt(x, eps: float = 1e-12):
+    """sqrt with a floor: d/dx sqrt(x) -> inf at 0 turns masked-out lanes
+    into NaN gradients (0 * inf) in reverse mode; the floor keeps every
+    cotangent finite while changing forward values by < 1e-6."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 _SMOOTH_COND = int(MaterialType.SMOOTH_CONDUCTOR)
 _ROUGH_COND = int(MaterialType.ROUGH_CONDUCTOR)
 _SMOOTH_DIEL = int(MaterialType.SMOOTH_DIELECTRIC)
@@ -105,7 +112,7 @@ def g1_smith(v, n, alpha):
     nov = jnp.abs(dot(n, v))
     good = nov > EPSILON
     nov_s = jnp.where(good, nov, 1.0)
-    tan_t = jnp.sqrt(jnp.maximum(1.0 - nov_s * nov_s, 0.0)) / nov_s
+    tan_t = _ssqrt(1.0 - nov_s * nov_s) / nov_s
     at = alpha * tan_t
     g = 2.0 / (1.0 + jnp.sqrt(1.0 + at * at))
     g = jnp.where(tan_t == 0.0, 1.0, g)
@@ -149,15 +156,15 @@ def fresnel(m: MatLane, incident, nrm, lam):
     outside = cosi <= 0.0
     etai = jnp.where(outside, 1.0, ior)
     etat = jnp.where(outside, ior, 1.0)
-    sint = etai / etat * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    sint = etai / etat * _ssqrt(1.0 - cosi * cosi)
     tir = sint >= 1.0
     sint_s = jnp.where(tir, 0.0, sint)
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint_s * sint_s))
+    cost = _ssqrt(1.0 - sint_s * sint_s)
     aci = jnp.abs(cosi)
-    rs_den = etat * aci + etai * cost
-    rp_den = etai * aci + etat * cost
-    rs = (etat * aci - etai * cost) / jnp.where(rs_den > 0.0, rs_den, 1.0)
-    rp = (etai * aci - etat * cost) / jnp.where(rp_den > 0.0, rp_den, 1.0)
+    rs_den = jnp.maximum(etat * aci + etai * cost, 1e-6)  # grad-safe
+    rp_den = jnp.maximum(etai * aci + etat * cost, 1e-6)
+    rs = (etat * aci - etai * cost) / rs_den
+    rp = (etai * aci - etat * cost) / rp_den
     kr = 0.5 * (rs * rs + rp * rp)
     kr = jnp.where(tir, 1.0, kr)
     return jnp.where(m.is_conductor, 1.0, kr)
@@ -180,8 +187,8 @@ def refract(m: MatLane, incident, nrm, lam):
     eta = etai / etat
     k = 1.0 - eta * eta * (1.0 - ci * ci)
     ok = k >= 0.0
-    k_s = jnp.where(ok, k, 0.0)
-    out = eta[:, None] * incident + (eta * ci - jnp.sqrt(k_s))[:, None] * n
+    k_s = jnp.where(ok, k, 1.0)  # double-where: keep sqrt grad finite
+    out = eta[:, None] * incident + (eta * ci - _ssqrt(k_s))[:, None] * n
     return jnp.where(ok[:, None], out, jnp.zeros_like(out))
 
 
@@ -208,10 +215,10 @@ def sample_ggx_h(n, alpha, xi1, xi2):
     """GGX NDF importance sample of the half vector (Material.hpp:111-123)."""
     phi = 2.0 * jnp.pi * xi1
     a2 = alpha * alpha
-    cos_t = jnp.sqrt(
+    cos_t = _ssqrt(
         jnp.maximum(1.0 - xi2, 0.0) / jnp.maximum(1.0 + (a2 - 1.0) * xi2, 1e-20)
     )
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    sin_t = _ssqrt(1.0 - cos_t * cos_t)
     tan_h = jnp.stack(
         [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
     )
@@ -247,11 +254,13 @@ def pdf(m: MatLane, wi, wo, n, lam, is_reflect):
     ior = ior_of(m, lam)
     eta = jnp.where(dot(wi, n) > 0.0, ior, 1.0 / ior)
 
-    # rough
+    # rough. Denominator floors are grad-safe (1/u² in the VJP must not
+    # overflow f32); lanes they touch have pdf→inf, i.e. weight→0, and are
+    # firefly-clamped anyway, so forward output is unchanged.
     h_r = _half_reflect(wi, wo, n)
-    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(h_r, wo)), 1e-20)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(h_r, wo)), 1e-8)
     hv, h_t = _half_refract(wi, wo, n, eta)
-    d1 = jnp.maximum(dot(hv, hv), 1e-20)
+    d1 = jnp.maximum(dot(hv, hv), 1e-12)
     jac_t = eta * eta * jnp.abs(dot(h_t, wo)) / d1
     h = jnp.where(is_reflect[:, None], h_r, h_t)
     jac = jnp.where(is_reflect, jac_r, jac_t)
@@ -299,7 +308,7 @@ def eval_bsdf(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
     hov = dot(h_t, wo)
     den = hol + eta * hov
     den = den * den * jnp.abs(win * won)
-    den = jnp.where(den > 0.0, den, 1.0)
+    den = jnp.maximum(den, 1e-10)  # grad-safe; affected lanes clamp to <=5
     rough_refract = (1.0 - f_t) * d_t * g_t * eta * eta * jnp.abs(hol * hov) / den
     rough_refract = jnp.where(
         m.is_conductor | same_side | (win * won == 0.0), 0.0, rough_refract

