@@ -167,3 +167,38 @@ def make_train_step(pack, camera, target, optimizer=None, *, spp=1,
         return params, optimizer.init(params)
 
     return init_fn, step
+
+
+# ---------------------------------------------------------------------------
+# Train-state persistence (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path, params: SceneParams, opt_state, step: int) -> None:
+    """Checkpoint the inverse-rendering state (orbax, async-safe layout)."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(
+        path,
+        {"params": params._asdict(), "opt_state": opt_state, "step": step},
+        force=True,
+    )
+    ckpt.wait_until_finished()
+
+
+def load_train_state(path, like_params: SceneParams, like_opt_state):
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    template = {
+        "params": like_params._asdict(),
+        "opt_state": like_opt_state,
+        "step": 0,
+    }
+    restored = ckpt.restore(path, template)
+    return (
+        SceneParams(**restored["params"]),
+        restored["opt_state"],
+        int(restored["step"]),
+    )
