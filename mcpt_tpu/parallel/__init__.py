@@ -1,6 +1,8 @@
 from mcpt_tpu.parallel.mesh import (
+    RenderSharding,
     lane_sharding,
     make_mesh,
+    render_sharding,
     replicate_pack,
     replicated_sharding,
 )
@@ -10,4 +12,6 @@ __all__ = [
     "lane_sharding",
     "replicated_sharding",
     "replicate_pack",
+    "render_sharding",
+    "RenderSharding",
 ]

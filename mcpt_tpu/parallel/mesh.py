@@ -14,11 +14,26 @@ everything below is expressed in global arrays so the same code runs 1-chip,
 8-chip, or multi-host.
 """
 
+from typing import NamedTuple
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 LANE_AXIS = "shard"
+
+
+class RenderSharding(NamedTuple):
+    """Placement pair used by render.render_radiance(sharding=...)."""
+
+    rep: NamedSharding  # scene pack: replicated
+    lanes: NamedSharding  # lane-batch arrays: split on axis 0
+
+
+def render_sharding(mesh: Mesh) -> "RenderSharding":
+    return RenderSharding(
+        rep=NamedSharding(mesh, P()), lanes=NamedSharding(mesh, P(LANE_AXIS))
+    )
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
