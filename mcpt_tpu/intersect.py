@@ -143,9 +143,10 @@ def intersect_dense(pack, o, d) -> Hit:
 
 def _tri_test_gather(pack, pid, o, d):
     """Per-lane Möller-Trumbore against gathered triangle `pid` (B,)."""
-    v0 = pack.tri_v0[pid]
-    e1 = pack.tri_e1[pid]
-    e2 = pack.tri_e2[pid]
+    row = pack.tri_mt[pid]  # one fused 9-float gather
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     # EPS-guarded reciprocal: grad-safe (see intersect_dense comment).
@@ -170,8 +171,9 @@ def _tri_test_gather(pack, pid, o, d):
 
 def _sphere_test_gather(pack, sid, o, d):
     """Per-lane quadratic against gathered sphere `sid` (B,)."""
-    c0 = pack.sph_c[sid]
-    r = pack.sph_r[sid]
+    row = pack.sph_geom[sid]
+    c0 = row[:, 0:3]
+    r = row[:, 3]
     L = o - c0
     a = jnp.sum(d * d, axis=-1)
     b = 2.0 * jnp.sum(d * L, axis=-1)
@@ -197,22 +199,29 @@ def _sphere_test_gather(pack, sid, o, d):
 
 
 def intersect_bvh(pack, o, d) -> Hit:
-    """Every lane walks the threaded BVH in lockstep inside one while_loop."""
+    """Every lane walks the threaded BVH in lockstep inside one while_loop.
+
+    One fat-row gather per node visit (bounds + miss link + inlined leaf
+    prim ids, see scene.py `bvh_fat`) and one 9-float gather per leaf slot
+    (`tri_mt`) — gathers, not FLOPs, dominate TPU traversal cost.
+    """
     b = o.shape[0]
     n_tris = pack.tri_v0.shape[0]
     dinv = 1.0 / d
-    leaf_size = pack.bvh_leaf_size
+    leaf_size = pack.bvh_fat.shape[1] - 8
 
     def cond(state):
-        node = state[0]
-        return jnp.any(node >= 0)
+        return jnp.any(state[0] >= 0)
 
     def body(state):
         node, t_best, prim_best, u_best, v_best = state
         active = node >= 0
         nidx = jnp.maximum(node, 0)
-        nmin = pack.bvh_min[nidx]
-        nmax = pack.bvh_max[nidx]
+        row = pack.bvh_fat[nidx]  # (B, 8+L)
+        nmin = row[:, 0:3]
+        nmax = row[:, 3:6]
+        miss = row[:, 6].astype(jnp.int32)
+        count = row[:, 7]
         # Slab test with EPSILON slack (Bounds3.hpp:95-108).
         vt1 = (nmin - o) * dinv
         vt2 = (nmax - o) * dinv
@@ -223,13 +232,11 @@ def intersect_bvh(pack, o, d) -> Hit:
         # nearest hit (pure optimization; never changes the result).
         hit_box &= tmin - EPSILON <= t_best
 
-        start = pack.bvh_leaf_start[nidx]
-        count = pack.bvh_leaf_count[nidx]
-        is_leaf = (start >= 0) & hit_box
-
+        is_leaf = (count > 0.0) & hit_box
         for s in range(leaf_size):
-            slot_ok = is_leaf & (s < count)
-            pid = jnp.where(slot_ok, pack.bvh_prims[start + s], 0)
+            pid = row[:, 8 + s].astype(jnp.int32)
+            slot_ok = is_leaf & (pid >= 0)
+            pid = jnp.where(slot_ok, pid, 0)
             is_tri = pid < n_tris
             t_tri, u_tri, v_tri = _tri_test_gather(
                 pack, jnp.minimum(pid, n_tris - 1), o, d
@@ -244,8 +251,7 @@ def intersect_bvh(pack, o, d) -> Hit:
             u_best = jnp.where(better & is_tri, u_tri, jnp.where(better, 0.0, u_best))
             v_best = jnp.where(better & is_tri, v_tri, jnp.where(better, 0.0, v_best))
 
-        miss = pack.bvh_miss[nidx]
-        interior_hit = hit_box & (start < 0)
+        interior_hit = hit_box & (count <= 0.0)
         nxt = jnp.where(interior_hit, node + 1, miss)
         nxt = jnp.where(active, nxt, -1)
         return nxt, t_best, prim_best, u_best, v_best

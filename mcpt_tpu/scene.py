@@ -161,6 +161,14 @@ class ScenePack:
     # Pallas kernel layout: triangles along the lane (last) axis.
     # Rows: 9 Woop matrix entries (row-major), c0..c2, nr2, valid; padded to 16.
     tri_kern: jnp.ndarray  # (16, T)
+    # Traversal gather tables: one fat row per BVH node
+    # [min(3), max(3), miss, leaf_count, prim_0..prim_{L-1}] (prims -1-padded,
+    # interior nodes have leaf_count 0), and Möller-Trumbore triangle rows
+    # [v0(3), e1(3), e2(3)] + sphere rows [c(3), r]. One gather per node
+    # visit / per leaf slot instead of 5-6 (TPU gathers dominate traversal).
+    bvh_fat: jnp.ndarray  # (N, 8 + L)
+    tri_mt: jnp.ndarray  # (T, 9)
+    sph_geom: jnp.ndarray  # (S, 4)
     # environment
     env_pixels: jnp.ndarray  # (H, W, 3) float32; (1,1,3) dummy when unused
     background: jnp.ndarray  # (3,)
@@ -459,6 +467,25 @@ class Scene:
         tri_kern[12] = nr2.astype(np.float32)
         tri_kern[13] = valid.astype(np.float32)
 
+        # Traversal gather tables (see ScenePack docstring).
+        leaf_cap = max(int(flat.leaf_count.max()) if flat.leaf_count.size else 1, 1)
+        n_nodes = flat.node_min.shape[0]
+        bvh_fat = np.full((n_nodes, 8 + leaf_cap), -1.0, np.float32)
+        bvh_fat[:, 0:3] = flat.node_min
+        bvh_fat[:, 3:6] = flat.node_max
+        bvh_fat[:, 6] = flat.node_miss
+        bvh_fat[:, 7] = np.maximum(flat.leaf_count, 0)
+        leaves_idx = np.nonzero(flat.leaf_start >= 0)[0]
+        if leaves_idx.size:
+            starts = flat.leaf_start[leaves_idx][:, None]
+            counts = flat.leaf_count[leaves_idx][:, None]
+            cols = np.arange(leaf_cap)[None, :]
+            slot = np.minimum(starts + cols, max(prim_ids.shape[0] - 1, 0))
+            vals = np.where(cols < counts, prim_ids[slot].astype(np.float32), -1.0)
+            bvh_fat[leaves_idx, 8:] = vals
+        tri_mt = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
+        sph_geom = np.concatenate([sph_c, sph_r[:, None]], axis=1).astype(np.float32)
+
         rr = np.float32(self.rr_rate)
         return ScenePack(
             tri_v0=jnp.asarray(v0),
@@ -489,6 +516,9 @@ class Scene:
             prim_emissive=jnp.asarray(prim_emissive),
             emt_fat=jnp.asarray(emt_fat),
             tri_kern=jnp.asarray(tri_kern),
+            bvh_fat=jnp.asarray(bvh_fat),
+            tri_mt=jnp.asarray(tri_mt),
+            sph_geom=jnp.asarray(sph_geom),
             emt_tri=jnp.asarray(a_emt_tri),
             emt_mesh=jnp.asarray(a_emt_mesh),
             emt_intra_cum=jnp.asarray(a_intra),
