@@ -2,138 +2,158 @@
 
 The pure-XLA dense path (intersect.py) materializes (B, 3T) intermediates in
 HBM — measured bandwidth-bound at ~3e7 rays/s. This kernel keeps the whole
-triangle table in VMEM (laid out triangles-along-lanes, see scene.py
-`tri_kern`), streams ray blocks through, and keeps every per-(ray, triangle)
-temporary in registers/VMEM. HBM traffic drops to ~40 B per ray total.
+triangle table and the ray batch in VMEM and keeps every per-(ray, triangle)
+temporary in registers. HBM traffic drops to ~40 B per ray total.
 
 Semantics are identical to intersect.py's dense path (same unit-triangle
-transform, same reference det-epsilon / inclusive-barycentric accept rules,
-Triangle.hpp:222-252).
+transform computed through the EPS-guarded determinant, same reference
+accept rules, Triangle.hpp:222-252).
 
-Layout (see pallas_guide.md):
-- rays on the SUBLANE axis (blocks of 256, arrays shaped (B, 3)/(B, 4)),
-  triangles on the LANE axis (chunks of 128 from the (16, T) table): every
-  per-(ray, tri) op is an (8,128)-tiled VPU op and no transposes are ever
-  needed (a lane→sublane relayout hangs/chokes Mosaic);
-- per-chunk argmin via lane-iota + masked min — no gathers anywhere;
-- the chunk loop over T is static and unrolled.
+Hard-won constraints of the axon remote Mosaic compiler (each violation
+either hangs the compile service for ~30 min or OOMs VMEM):
+- NO grid / BlockSpec index_maps — the whole call is one program invocation
+  with `lax.fori_loop`s inside (grid kernels hang the compiler);
+- NO narrow trailing dims on big arrays — a (B, 3) array in VMEM pads its
+  lane dim 3→128 (40x memory blowup, "Used 192M of 128M vmem"); rays and
+  results are laid out (8, B) / (8, B) component-major instead;
+- NO lane→sublane relayouts — rays live on the LANE axis end-to-end and
+  triangles on the SUBLANE axis: every per-(ray,tri) op is an (8, 128) tile
+  (8 triangles × 128 rays), reductions are along sublanes.
+
+Layouts:
+  rays:  (8, B)  rows o0,o1,o2,d0,d1,d2,-,-      (B multiple of 128)
+  tris:  (T, 16) cols w00..w22, c0..c2, nr2, valid (T multiple of 8)
+  out:   (8, B)  rows t, prim, u, v, -,-,-,-
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mcpt_tpu.constants import EPSILON, T_MAX
 
-BLK_B = 256
-BLK_T = 128
+RAY_BLK = 128  # rays per chunk (lane axis)
+TRI_BLK = 8  # triangles per chunk (sublane axis)
 
 
-def _kernel(o_ref, d_ref, tri_ref, out_ref, *, n_chunks):
-    o0 = o_ref[:, 0:1]
-    o1 = o_ref[:, 1:2]
-    o2 = o_ref[:, 2:3]
-    d0 = d_ref[:, 0:1]
-    d1 = d_ref[:, 1:2]
-    d2 = d_ref[:, 2:3]
+def _kernel(rays_ref, tri_ref, out_ref, *, n_tri_chunks, n_ray_chunks):
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLK, RAY_BLK), 0)
 
-    t_best = jnp.full((BLK_B, 1), T_MAX, jnp.float32)
-    prim_best = jnp.full((BLK_B, 1), -1.0, jnp.float32)
-    u_best = jnp.zeros((BLK_B, 1), jnp.float32)
-    v_best = jnp.zeros((BLK_B, 1), jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLK_B, BLK_T), 1)
+    def ray_body(rc, _):
+        off = rc * RAY_BLK
+        o0 = rays_ref[0:1, pl.ds(off, RAY_BLK)]
+        o1 = rays_ref[1:2, pl.ds(off, RAY_BLK)]
+        o2 = rays_ref[2:3, pl.ds(off, RAY_BLK)]
+        d0 = rays_ref[3:4, pl.ds(off, RAY_BLK)]
+        d1 = rays_ref[4:5, pl.ds(off, RAY_BLK)]
+        d2 = rays_ref[5:6, pl.ds(off, RAY_BLK)]
 
-    for tc in range(n_chunks):
-        lo = tc * BLK_T
-        hi = lo + BLK_T
-        w = [tri_ref[r : r + 1, lo:hi] for r in range(9)]
-        c0 = tri_ref[9:10, lo:hi]
-        c1 = tri_ref[10:11, lo:hi]
-        c2 = tri_ref[11:12, lo:hi]
-        nr2 = tri_ref[12:13, lo:hi]
-        valid = tri_ref[13:14, lo:hi]
+        def tri_body(tc, acc):
+            t_best, prim_best, u_best, v_best = acc
+            r0 = tc * TRI_BLK
+            blk = tri_ref[pl.ds(r0, TRI_BLK), :]  # (8, 16)
+            w = [blk[:, k : k + 1] for k in range(9)]
+            c0 = blk[:, 9:10]
+            c1 = blk[:, 10:11]
+            c2 = blk[:, 11:12]
+            nr2 = blk[:, 12:13]
+            valid = blk[:, 13:14]
 
-        dp0 = d0 * w[0] + d1 * w[1] + d2 * w[2]
-        dp1 = d0 * w[3] + d1 * w[4] + d2 * w[5]
-        dp2 = d0 * w[6] + d1 * w[7] + d2 * w[8]
-        op0 = o0 * w[0] + o1 * w[1] + o2 * w[2] - c0
-        op1 = o0 * w[3] + o1 * w[4] + o2 * w[5] - c1
-        op2 = o0 * w[6] + o1 * w[7] + o2 * w[8] - c2
+            dp0 = d0 * w[0] + d1 * w[1] + d2 * w[2]
+            dp1 = d0 * w[3] + d1 * w[4] + d2 * w[5]
+            dp2 = d0 * w[6] + d1 * w[7] + d2 * w[8]
+            op0 = o0 * w[0] + o1 * w[1] + o2 * w[2] - c0
+            op1 = o0 * w[3] + o1 * w[4] + o2 * w[5] - c1
+            op2 = o0 * w[6] + o1 * w[7] + o2 * w[8] - c2
 
-        # t through the guarded det — matches intersect.py's dense math
-        # bit-for-bit on accepted lanes (see comment there).
-        det = -dp2 * nr2
-        det_g = jnp.where(jnp.abs(det) >= EPSILON, det, 1.0)
-        t_hit = op2 * nr2 / det_g
-        u = op0 + t_hit * dp0
-        v = op1 + t_hit * dp1
-        ok = (
-            (jnp.abs(det) >= EPSILON)
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t_hit >= 0.0)
-            & (valid > 0.5)
+            det = -dp2 * nr2
+            det_g = jnp.where(jnp.abs(det) >= EPSILON, det, 1.0)
+            t_hit = op2 * nr2 / det_g
+            u = op0 + t_hit * dp0
+            v = op1 + t_hit * dp1
+            ok = (
+                (jnp.abs(det) >= EPSILON)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t_hit >= 0.0)
+                & (valid > 0.5)
+            )
+            t_cand = jnp.where(ok, t_hit, T_MAX)
+
+            chunk_min = jnp.min(t_cand, axis=0, keepdims=True)  # (1, 128)
+            is_min = t_cand == chunk_min
+            sub_pick = jnp.min(
+                jnp.where(is_min, subl, jnp.int32(TRI_BLK)), axis=0, keepdims=True
+            )
+            sel = subl == sub_pick
+            u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+            v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+
+            better = chunk_min < t_best
+            prim_cand = (r0 + sub_pick).astype(jnp.float32)
+            return (
+                jnp.where(better, chunk_min, t_best),
+                jnp.where(better, prim_cand, prim_best),
+                jnp.where(better, u_sel, u_best),
+                jnp.where(better, v_sel, v_best),
+            )
+
+        init = (
+            jnp.full((1, RAY_BLK), T_MAX, jnp.float32),
+            jnp.full((1, RAY_BLK), -1.0, jnp.float32),
+            jnp.zeros((1, RAY_BLK), jnp.float32),
+            jnp.zeros((1, RAY_BLK), jnp.float32),
         )
-        t_cand = jnp.where(ok, t_hit, T_MAX)
-
-        chunk_min = jnp.min(t_cand, axis=1, keepdims=True)
-        # First lane achieving the min (ties -> lowest index, like argmin).
-        is_min = t_cand == chunk_min
-        lane_pick = jnp.min(
-            jnp.where(is_min, lane, jnp.int32(BLK_T)), axis=1, keepdims=True
+        t_best, prim_best, u_best, v_best = lax.fori_loop(
+            0, n_tri_chunks, tri_body, init
         )
-        sel = lane == lane_pick
-        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
-        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
+        out_ref[0:1, pl.ds(off, RAY_BLK)] = t_best
+        out_ref[1:2, pl.ds(off, RAY_BLK)] = prim_best
+        out_ref[2:3, pl.ds(off, RAY_BLK)] = u_best
+        out_ref[3:4, pl.ds(off, RAY_BLK)] = v_best
+        return 0
 
-        better = chunk_min < t_best
-        t_best = jnp.where(better, chunk_min, t_best)
-        prim_best = jnp.where(
-            better, jnp.float32(lo) + lane_pick.astype(jnp.float32), prim_best
-        )
-        u_best = jnp.where(better, u_sel, u_best)
-        v_best = jnp.where(better, v_sel, v_best)
-
-    out_ref[:, 0:1] = t_best
-    out_ref[:, 1:2] = prim_best
-    out_ref[:, 2:3] = u_best
-    out_ref[:, 3:4] = v_best
+    lax.fori_loop(0, n_ray_chunks, ray_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def intersect_tris_pallas(tri_kern, o, d, interpret: bool = False):
     """Nearest triangle hit for a ray batch.
 
-    tri_kern: (16, T) scene table (T multiple of 128).
+    tri_kern: (16, T) scene table (T multiple of 128 >= TRI_BLK).
     o, d: (B, 3) rays.
     Returns (t (B,), prim (B,) int32 [-1 miss], u (B,), v (B,)).
     """
     t_cnt = tri_kern.shape[1]
-    assert t_cnt % BLK_T == 0, t_cnt
+    assert t_cnt % TRI_BLK == 0, t_cnt
     b = o.shape[0]
-    b_pad = ((b + BLK_B - 1) // BLK_B) * BLK_B
-    op = jnp.zeros((b_pad, 3), jnp.float32).at[:b].set(o)
-    dp = jnp.zeros((b_pad, 3), jnp.float32).at[:b].set(d)
+    b_pad = ((b + RAY_BLK - 1) // RAY_BLK) * RAY_BLK
+    rays = jnp.zeros((8, b_pad), jnp.float32)
+    rays = rays.at[0:3, :b].set(o.T).at[3:6, :b].set(d.T)
+    tri_t = jnp.transpose(tri_kern)  # (T, 16); tiny, folded by XLA
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_chunks=t_cnt // BLK_T),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 4), jnp.float32),
-        grid=(b_pad // BLK_B,),
+        functools.partial(
+            _kernel,
+            n_tri_chunks=t_cnt // TRI_BLK,
+            n_ray_chunks=b_pad // RAY_BLK,
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, b_pad), jnp.float32),
         in_specs=[
-            pl.BlockSpec((BLK_B, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_B, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, t_cnt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLK_B, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(op, dp, tri_kern)
+    )(rays, tri_t)
 
-    t = out[:b, 0]
-    prim = out[:b, 1].astype(jnp.int32)
+    t = out[0, :b]
+    prim = out[1, :b].astype(jnp.int32)
     prim = jnp.where(t < T_MAX, prim, -1)
-    return t, prim, out[:b, 2], out[:b, 3]
+    return t, prim, out[2, :b], out[3, :b]
