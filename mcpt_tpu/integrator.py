@@ -54,7 +54,7 @@ from mcpt_tpu.bsdf import (
 )
 from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, T_MAX
 from mcpt_tpu.envmap import sample_env
-from mcpt_tpu.intersect import Hit, intersect, surface_at
+from mcpt_tpu.intersect import Hit, intersect, occlude_t, surface_at
 from mcpt_tpu.lights import sample_light
 from mcpt_tpu.utils.gather import gather_rows
 from mcpt_tpu.utils.vec import dot, reflect, safe_normalize
@@ -106,9 +106,8 @@ def direct_lighting(pack, key, wo, p, n, uv, mat_ids, lam, chan, is_reflect, met
     ws = delta / dist[:, None]
 
     if pack.enable_shadow:
-        sh = intersect(pack, p_r, ws, method=method)
-        visible = sh.prim >= 0
-        visible &= jnp.abs(sh.t - dist) < EPSILON
+        sh_t = occlude_t(pack, p_r, ws, method=method)
+        visible = (sh_t < T_MAX) & (jnp.abs(sh_t - dist) < EPSILON)
     else:
         visible = jnp.ones(b * s, bool)
 
