@@ -22,6 +22,11 @@ reference's look even where they deviate from Walter et al.):
   C-truncation and signed-modulo corner cases.
 
 Lane material parameters are gathered once per path vertex into a `MatLane`.
+
+Layout: the core implementations (``*_c``) take 3-vectors as COMPONENT
+TUPLES of (B,) arrays and uv as a (u, v) tuple — the TPU-fast form (see
+utils/vec.py for why). The (B, 3)-row functions kept for API/tests are thin
+wrappers over the cores.
 """
 
 from typing import NamedTuple
@@ -33,7 +38,19 @@ from jax import lax
 from mcpt_tpu.constants import EPSILON
 from mcpt_tpu.materials import MaterialType
 from mcpt_tpu.utils.gather import gather_rows
-from mcpt_tpu.utils.vec import dot, safe_normalize
+from mcpt_tpu.utils.vec import (
+    add3,
+    cross3,
+    dot3,
+    neg3,
+    rows3,
+    safe_normalize3,
+    scale3,
+    sub3,
+    v3,
+    where3,
+)
+
 
 def _ssqrt(x, eps: float = 1e-12):
     """sqrt with a floor: d/dx sqrt(x) -> inf at 0 turns masked-out lanes
@@ -86,19 +103,26 @@ def gather_material(pack, mat_ids) -> MatLane:
     )
 
 
+def repeat_material(m: MatLane, s: int) -> MatLane:
+    """Repeat every lane s times (NEE fan-out) — cheap (B,)-array repeats
+    instead of re-gathering at B*s."""
+    rep = lambda x: jnp.repeat(x, s, axis=0)
+    return MatLane(*(rep(f) for f in m))
+
+
 def ior_of(m: MatLane, lam):
     """2-term Cauchy dispersion (Material.hpp:178-183)."""
     return m.ior_a + m.ior_b / (lam * lam)
 
 
 # ---------------------------------------------------------------------------
-# Microfacet terms
+# Microfacet terms (component cores)
 # ---------------------------------------------------------------------------
 
 
-def d_ggx(h, n, alpha):
+def d_ggx_c(h, n, alpha):
     """Reference D (Material.hpp:26-34): α² / (π (NoH²(α + tan²θ))²)."""
-    noh = jnp.abs(dot(n, h))
+    noh = jnp.abs(dot3(n, h))
     good = noh > EPSILON
     noh_s = jnp.where(good, noh, 1.0)
     tan2 = (1.0 - noh_s * noh_s) / (noh_s * noh_s)
@@ -108,9 +132,9 @@ def d_ggx(h, n, alpha):
     return jnp.where(good, d, 0.0)
 
 
-def g1_smith(v, n, alpha):
+def g1_smith_c(v, n, alpha):
     """Height-correlated-free Smith G1 (Material.hpp:38-69)."""
-    nov = jnp.abs(dot(n, v))
+    nov = jnp.abs(dot3(n, v))
     good = nov > EPSILON
     nov_s = jnp.where(good, nov, 1.0)
     tan_t = _ssqrt(1.0 - nov_s * nov_s) / nov_s
@@ -120,26 +144,31 @@ def g1_smith(v, n, alpha):
     return jnp.where(good, g, 0.0)
 
 
-def g_smith(wi, wo, n, alpha):
+def g_smith_c(wi, wo, n, alpha):
     """Product of the two G1s (Material.hpp:70-77)."""
-    return g1_smith(wi, n, alpha) * g1_smith(wo, n, alpha)
+    return g1_smith_c(wi, n, alpha) * g1_smith_c(wo, n, alpha)
 
 
-def chessboard_reflectance(uv):
+def chessboard_reflectance_uv(u, v):
     """Procedural chessboard (Material.hpp:134-151), C-semantics intact:
     int() truncates toward zero and (col+row)%2 keeps the dividend's sign."""
-    col = jnp.trunc((uv[:, 0] - 0.05) * 10.0).astype(jnp.int32)
-    row = jnp.trunc(uv[:, 1] * 12.0).astype(jnp.int32)
+    col = jnp.trunc((u - 0.05) * 10.0).astype(jnp.int32)
+    row = jnp.trunc(v * 12.0).astype(jnp.int32)
     in_board = (col >= 3) & (col <= 5) & (row <= 7)
     is_white = lax.rem(col + row, 2) == 1
     return jnp.where(in_board & is_white, 0.9, 0.1)
 
 
-def reflectance_of(m: MatLane, uv, chan):
-    """Per-wavelength scalar reflectance (Material.hpp:134-151)."""
-    # One-hot pick, not take_along_axis (TPU dynamic-gather is ~100x slower).
-    base = jnp.sum(m.refl * jax.nn.one_hot(chan, 3, dtype=m.refl.dtype), axis=1)
-    return jnp.where(m.textured, chessboard_reflectance(uv), base)
+def _chan_pick(chan, r, g, b):
+    """Per-lane channel select from three (B,) components — two selects,
+    no one-hot, no gather."""
+    return jnp.where(chan == 0, r, jnp.where(chan == 1, g, b))
+
+
+def reflectance_c(m: MatLane, uv, chan):
+    """Per-wavelength scalar reflectance (Material.hpp:134-151); uv=(u,v)."""
+    base = _chan_pick(chan, m.refl[:, 0], m.refl[:, 1], m.refl[:, 2])
+    return jnp.where(m.textured, chessboard_reflectance_uv(uv[0], uv[1]), base)
 
 
 def fresnel_schlick(cos_theta, f0):
@@ -149,11 +178,11 @@ def fresnel_schlick(cos_theta, f0):
     return f0 + (1.0 - f0) * c2 * c2 * inv
 
 
-def fresnel(m: MatLane, incident, nrm, lam):
+def fresnel_c(m: MatLane, incident, nrm, lam):
     """Unpolarized dielectric Fresnel with TIR; conductors return 1
     (Material.hpp:198-226). ``incident`` points INTO the surface (the ray
     direction), matching `Scene.cpp:110`'s call with ray.direction."""
-    cosi = jnp.clip(dot(incident, nrm), -1.0, 1.0)
+    cosi = jnp.clip(dot3(incident, nrm), -1.0, 1.0)
     ior = ior_of(m, lam)
     outside = cosi <= 0.0
     etai = jnp.where(outside, 1.0, ior)
@@ -172,48 +201,44 @@ def fresnel(m: MatLane, incident, nrm, lam):
     return jnp.where(m.is_conductor, 1.0, kr)
 
 
-def refract_dir(incident, nrm, eta_ratio_ior, cosi_sign=None):
-    raise NotImplementedError  # replaced by refract() below; kept explicit
-
-
-def refract(m: MatLane, incident, nrm, lam):
+def refract_c(m: MatLane, incident, nrm, lam):
     """Snell refraction; zero vector on TIR (Material.hpp:227-242).
     ``incident`` is the ray direction (into the surface)."""
-    cosi = jnp.clip(dot(incident, nrm), -1.0, 1.0)
+    cosi = jnp.clip(dot3(incident, nrm), -1.0, 1.0)
     ior = ior_of(m, lam)
     entering = cosi < 0.0
     etai = jnp.where(entering, 1.0, ior)
     etat = jnp.where(entering, ior, 1.0)
-    n = jnp.where(entering[:, None], nrm, -nrm)
+    n = where3(entering, nrm, neg3(nrm))
     ci = jnp.abs(cosi)
     eta = etai / etat
     k = 1.0 - eta * eta * (1.0 - ci * ci)
     ok = k >= 0.0
     k_s = jnp.where(ok, k, 1.0)  # double-where: keep sqrt grad finite
-    out = eta[:, None] * incident + (eta * ci - _ssqrt(k_s))[:, None] * n
-    return jnp.where(ok[:, None], out, jnp.zeros_like(out))
+    coef = eta * ci - _ssqrt(k_s)
+    out = add3(scale3(incident, eta), scale3(n, coef))
+    zero = jnp.zeros_like(out[0])
+    return where3(ok, out, (zero, zero, zero))
 
 
 # ---------------------------------------------------------------------------
-# Sampling
+# Sampling (component cores)
 # ---------------------------------------------------------------------------
 
 
-def tangent_frame(n):
+def tangent_frame_c(n):
     """Hughes-Möller-style frame exactly as Material.hpp:95-106."""
-    ax = jnp.abs(n[:, 0]) > jnp.abs(n[:, 1])
-    lx = jnp.sqrt(jnp.maximum(n[:, 0] ** 2 + n[:, 2] ** 2, 1e-30))
-    ly = jnp.sqrt(jnp.maximum(n[:, 1] ** 2 + n[:, 2] ** 2, 1e-30))
-    tx = jnp.where(
-        ax[:, None],
-        jnp.stack([-n[:, 2] / lx, jnp.zeros_like(lx), n[:, 0] / lx], axis=-1),
-        jnp.stack([jnp.zeros_like(ly), n[:, 2] / ly, -n[:, 1] / ly], axis=-1),
-    )
-    bt = jnp.cross(n, tx)
+    nx, ny, nz = n
+    ax = jnp.abs(nx) > jnp.abs(ny)
+    lx = jnp.sqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
+    ly = jnp.sqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
+    zero = jnp.zeros_like(nx)
+    tx = where3(ax, (-nz / lx, zero, nx / lx), (zero, nz / ly, -ny / ly))
+    bt = cross3(n, tx)
     return tx, bt
 
 
-def sample_ggx_h(n, alpha, xi1, xi2):
+def sample_ggx_h_c(n, alpha, xi1, xi2):
     """GGX NDF importance sample of the half vector (Material.hpp:111-123)."""
     phi = 2.0 * jnp.pi * xi1
     a2 = alpha * alpha
@@ -221,93 +246,93 @@ def sample_ggx_h(n, alpha, xi1, xi2):
         jnp.maximum(1.0 - xi2, 0.0) / jnp.maximum(1.0 + (a2 - 1.0) * xi2, 1e-20)
     )
     sin_t = _ssqrt(1.0 - cos_t * cos_t)
-    tan_h = jnp.stack(
-        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
-    )
-    t, b = tangent_frame(n)
-    h = tan_h[:, 0:1] * t + tan_h[:, 1:2] * b + tan_h[:, 2:3] * n
-    return safe_normalize(h)
+    hx = sin_t * jnp.cos(phi)
+    hy = sin_t * jnp.sin(phi)
+    t, b = tangent_frame_c(n)
+    h = add3(add3(scale3(t, hx), scale3(b, hy)), scale3(n, cos_t))
+    return safe_normalize3(h)
 
 
-def sample_microfacet_normal(m: MatLane, n, xi1, xi2):
+def sample_mfn_c(m: MatLane, n, xi1, xi2):
     """Material::sample (Material.hpp:268-281): GGX h for rough, n for smooth."""
-    h = sample_ggx_h(n, m.rough, xi1, xi2)
-    return jnp.where(m.is_rough[:, None], h, n)
+    h = sample_ggx_h_c(n, m.rough, xi1, xi2)
+    return where3(m.is_rough, h, n)
 
 
 # ---------------------------------------------------------------------------
-# pdf / eval
+# pdf / eval (component cores)
 # ---------------------------------------------------------------------------
 
 
-def _half_reflect(wi, wo, n):
-    h = safe_normalize(wi + wo)
-    return jnp.where((dot(wi, n) > 0.0)[:, None], h, -h)
+def _half_reflect_c(wi, wo, n):
+    h = safe_normalize3(add3(wi, wo))
+    return where3(dot3(wi, n) > 0.0, h, neg3(h))
 
 
-def _half_refract(wi, wo, n, eta):
-    hv = -wi - wo * eta[:, None]
-    h = safe_normalize(hv)
+def _half_refract_c(wi, wo, n, eta):
+    hv = sub3(neg3(wi), scale3(wo, eta))
+    h = safe_normalize3(hv)
     return hv, h
 
 
-def pdf(m: MatLane, wi, wo, n, lam, is_reflect):
+def pdf_c(m: MatLane, wi, wo, n, lam, is_reflect):
     """Material::pdf (Material.hpp:285-328) with half-vector Jacobians."""
     ior = ior_of(m, lam)
-    eta = jnp.where(dot(wi, n) > 0.0, ior, 1.0 / ior)
+    eta = jnp.where(dot3(wi, n) > 0.0, ior, 1.0 / ior)
 
     # rough. Denominator floors are grad-safe (1/u² in the VJP must not
     # overflow f32); lanes they touch have pdf→inf, i.e. weight→0, and are
     # firefly-clamped anyway, so forward output is unchanged.
-    h_r = _half_reflect(wi, wo, n)
-    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(h_r, wo)), 1e-8)
-    hv, h_t = _half_refract(wi, wo, n, eta)
-    d1 = jnp.maximum(dot(hv, hv), 1e-12)
-    jac_t = eta * eta * jnp.abs(dot(h_t, wo)) / d1
-    h = jnp.where(is_reflect[:, None], h_r, h_t)
+    h_r = _half_reflect_c(wi, wo, n)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot3(h_r, wo)), 1e-8)
+    hv, h_t = _half_refract_c(wi, wo, n, eta)
+    d1 = jnp.maximum(dot3(hv, hv), 1e-12)
+    jac_t = eta * eta * jnp.abs(dot3(h_t, wo)) / d1
+    h = where3(is_reflect, h_r, h_t)
     jac = jnp.where(is_reflect, jac_r, jac_t)
-    d = d_ggx(h, n, m.rough)
-    p_rough = d * dot(n, h) * jac
+    d = d_ggx_c(h, n, m.rough)
+    p_rough = d * dot3(n, h) * jac
 
     # smooth (Dirac): 1 iff the half vector aligns with n.
-    h_sm_t = jnp.where((dot(h_t, n) > 0.0)[:, None], h_t, -h_t)
-    h_sm = jnp.where(is_reflect[:, None], safe_normalize(wi + wo), h_sm_t)
-    p_smooth = jnp.where(jnp.abs(dot(h_sm, n)) > 1.0 - EPSILON, 1.0, 0.0)
+    h_sm_t = where3(dot3(h_t, n) > 0.0, h_t, neg3(h_t))
+    h_sm = where3(is_reflect, safe_normalize3(add3(wi, wo)), h_sm_t)
+    p_smooth = jnp.where(jnp.abs(dot3(h_sm, n)) > 1.0 - EPSILON, 1.0, 0.0)
 
     return jnp.where(m.is_rough, p_rough, p_smooth)
 
 
-def eval_bsdf(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
+def eval_bsdf_c(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
     """Material::eval (Material.hpp:330-408).
 
     wi = incoming_light (toward the light / next vertex),
-    wo = outgoing_view, n = macro normal; all unit, (B,3).
+    wo = outgoing_view, n = macro normal; all unit, component tuples.
     """
-    win = dot(wi, n)
-    won = dot(wo, n)
+    win = dot3(wi, n)
+    won = dot3(wo, n)
     same_side = win * won > 0.0
     ior = ior_of(m, lam)
     eta = jnp.where(win > 0.0, ior, 1.0 / ior)
     alpha = m.rough
+    nwi = neg3(wi)
 
     # ---- rough reflect (Material.hpp:337-353)
-    h_r = _half_reflect(wi, wo, n)
-    f_cond = fresnel_schlick(jnp.abs(dot(h_r, wo)), reflectance_of(m, uv, chan))
-    f_diel_r = fresnel(m, -wi, h_r, lam)
+    h_r = _half_reflect_c(wi, wo, n)
+    f_cond = fresnel_schlick(jnp.abs(dot3(h_r, wo)), reflectance_c(m, uv, chan))
+    f_diel_r = fresnel_c(m, nwi, h_r, lam)
     f_r = jnp.where(m.is_conductor, f_cond, f_diel_r)
-    d_r = d_ggx(h_r, n, alpha)
-    g_r = g_smith(wi, wo, h_r, alpha)
+    d_r = d_ggx_c(h_r, n, alpha)
+    g_r = g_smith_c(wi, wo, h_r, alpha)
     denom_r = 4.0 * jnp.abs(win) * jnp.abs(won) + EPSILON
     rough_reflect = jnp.where(same_side, f_r * d_r * g_r / denom_r, 0.0)
 
     # ---- rough refract (Material.hpp:354-372), Walter eq. 21
-    hv, h_t0 = _half_refract(wi, wo, n, eta)
-    h_t = jnp.where((dot(h_t0, n) > 0.0)[:, None], h_t0, -h_t0)
-    f_t = fresnel(m, -wi, h_t, lam)
-    d_t = d_ggx(h_t, n, alpha)
-    g_t = g_smith(wi, wo, h_t, alpha)
-    hol = dot(h_t, wi)
-    hov = dot(h_t, wo)
+    hv, h_t0 = _half_refract_c(wi, wo, n, eta)
+    h_t = where3(dot3(h_t0, n) > 0.0, h_t0, neg3(h_t0))
+    f_t = fresnel_c(m, nwi, h_t, lam)
+    d_t = d_ggx_c(h_t, n, alpha)
+    g_t = g_smith_c(wi, wo, h_t, alpha)
+    hol = dot3(h_t, wi)
+    hov = dot3(h_t, wo)
     den = hol + eta * hov
     den = den * den * jnp.abs(win * won)
     den = jnp.maximum(den, 1e-10)  # grad-safe; affected lanes clamp to <=5
@@ -317,10 +342,10 @@ def eval_bsdf(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
     )
 
     # ---- smooth reflect (Material.hpp:379-390)
-    h_sr = _half_reflect(wi, wo, n)
-    aligned_r = dot(h_sr, n) >= 1.0 - EPSILON
-    f_sm_cond = fresnel_schlick(jnp.abs(won), reflectance_of(m, uv, chan))
-    f_sm_diel = fresnel(m, -wi, n, lam)
+    h_sr = _half_reflect_c(wi, wo, n)
+    aligned_r = dot3(h_sr, n) >= 1.0 - EPSILON
+    f_sm_cond = fresnel_schlick(jnp.abs(won), reflectance_c(m, uv, chan))
+    f_sm_diel = fresnel_c(m, nwi, n, lam)
     smooth_reflect = jnp.where(
         same_side & aligned_r,
         jnp.where(m.is_conductor, f_sm_cond, f_sm_diel),
@@ -328,13 +353,69 @@ def eval_bsdf(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
     )
 
     # ---- smooth refract (Material.hpp:391-403)
-    aligned_t = dot(h_t, n) >= 1.0 - EPSILON
+    aligned_t = dot3(h_t, n) >= 1.0 - EPSILON
     smooth_refract = jnp.where(
         (~m.is_conductor) & (~same_side) & (win * won != 0.0) & aligned_t,
-        1.0 - fresnel(m, -wi, n, lam),
+        1.0 - fresnel_c(m, nwi, n, lam),
         0.0,
     )
 
     rough = jnp.where(is_reflect, rough_reflect, rough_refract)
     smooth = jnp.where(is_reflect, smooth_reflect, smooth_refract)
     return jnp.where(m.is_rough, rough, smooth)
+
+
+# ---------------------------------------------------------------------------
+# (B, 3)-row wrappers — public API and tests; cores above are the hot path.
+# ---------------------------------------------------------------------------
+
+
+def d_ggx(h, n, alpha):
+    return d_ggx_c(v3(h), v3(n), alpha)
+
+
+def g1_smith(v, n, alpha):
+    return g1_smith_c(v3(v), v3(n), alpha)
+
+
+def g_smith(wi, wo, n, alpha):
+    return g_smith_c(v3(wi), v3(wo), v3(n), alpha)
+
+
+def chessboard_reflectance(uv):
+    return chessboard_reflectance_uv(uv[:, 0], uv[:, 1])
+
+
+def reflectance_of(m: MatLane, uv, chan):
+    return reflectance_c(m, (uv[:, 0], uv[:, 1]), chan)
+
+
+def fresnel(m: MatLane, incident, nrm, lam):
+    return fresnel_c(m, v3(incident), v3(nrm), lam)
+
+
+def refract(m: MatLane, incident, nrm, lam):
+    return rows3(refract_c(m, v3(incident), v3(nrm), lam))
+
+
+def tangent_frame(n):
+    t, b = tangent_frame_c(v3(n))
+    return rows3(t), rows3(b)
+
+
+def sample_ggx_h(n, alpha, xi1, xi2):
+    return rows3(sample_ggx_h_c(v3(n), alpha, xi1, xi2))
+
+
+def sample_microfacet_normal(m: MatLane, n, xi1, xi2):
+    return rows3(sample_mfn_c(m, v3(n), xi1, xi2))
+
+
+def pdf(m: MatLane, wi, wo, n, lam, is_reflect):
+    return pdf_c(m, v3(wi), v3(wo), v3(n), lam, is_reflect)
+
+
+def eval_bsdf(m: MatLane, wi, wo, n, lam, uv, chan, is_reflect):
+    return eval_bsdf_c(
+        m, v3(wi), v3(wo), v3(n), lam, (uv[:, 0], uv[:, 1]), chan, is_reflect
+    )

@@ -52,19 +52,19 @@ class Camera:
         return np.stack([left, new_up, forward], axis=1).astype(np.float32)
 
 
-def generate_rays(camera: Camera, pixel_ids, key):
+def generate_rays_c(camera: Camera, pixel_ids, key):
     """Primary rays for flat pixel indices ``m`` (row-major, i=m%W, j=m//W).
 
-    Returns (origins (B,3), directions (B,3)); directions are unit length.
-    Sampling matches Renderer.cpp:44-76: uniform jitter within the pixel,
-    and for DoF a concentric aperture-disk sample r=R*sqrt(u), th=2*pi*u with
-    the focal point at ``(x, y, 1) * focal_distance`` in camera space.
+    Component form (the hot path): returns (o, d) as 3-tuples of (B,)
+    arrays; directions are unit length. Sampling matches Renderer.cpp:44-76:
+    uniform jitter within the pixel, and for DoF a concentric aperture-disk
+    sample r=R*sqrt(u), th=2*pi*u with the focal point at
+    ``(x, y, 1) * focal_distance`` in camera space.
     """
     w, h = camera.width, camera.height
     scale = jnp.float32(np.tan(np.deg2rad(camera.fov * 0.5)))
     aspect = jnp.float32(w / float(h))
-    orient = jnp.asarray(camera.orientation())
-    eye = jnp.asarray(camera.position, dtype=jnp.float32)
+    om = camera.orientation()  # 3x3 numpy; entries become jit constants
 
     i = (pixel_ids % w).astype(jnp.float32)
     j = (pixel_ids // w).astype(jnp.float32)
@@ -73,24 +73,41 @@ def generate_rays(camera: Camera, pixel_ids, key):
 
     x = (1.0 - 2.0 * (i + u[:, 0]) / w) * aspect * scale
     y = (1.0 - 2.0 * (j + u[:, 1]) / h) * scale
+    one = jnp.ones_like(x)
+
+    def rot(v):
+        """orientation @ v, componentwise with scalar constants."""
+        return (
+            om[0, 0] * v[0] + om[0, 1] * v[1] + om[0, 2] * v[2],
+            om[1, 0] * v[0] + om[1, 1] * v[1] + om[1, 2] * v[2],
+            om[2, 0] * v[0] + om[2, 1] * v[1] + om[2, 2] * v[2],
+        )
 
     if camera.use_dof:
-        focal = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) * jnp.float32(
-            camera.focal_distance
-        )
+        fd = jnp.float32(camera.focal_distance)
         r = jnp.float32(camera.aperture_radius) * jnp.sqrt(u[:, 2])
         theta = 2.0 * jnp.pi * u[:, 3]
         dx = r * jnp.cos(theta)
         dy = r * jnp.sin(theta)
-        lens = jnp.stack([dx, dy, jnp.zeros_like(dx)], axis=-1)
-        origins = eye + lens @ orient.T
-        dirs = focal - lens
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        lens = (dx, dy, jnp.zeros_like(dx))
+        lens_w = rot(lens)
+        origins = tuple(
+            jnp.float32(camera.position[k]) + lens_w[k] for k in range(3)
+        )
+        dirs = (x * fd - dx, y * fd - dy, one * fd)
     else:
-        dirs = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        origins = jnp.broadcast_to(eye, dirs.shape)
-
+        dirs = (x, y, one)
+        origins = tuple(
+            jnp.broadcast_to(jnp.float32(camera.position[k]), x.shape)
+            for k in range(3)
+        )
+    inv = 1.0 / jnp.sqrt(dirs[0] ** 2 + dirs[1] ** 2 + dirs[2] ** 2)
+    dirs = (dirs[0] * inv, dirs[1] * inv, dirs[2] * inv)
     # World-space direction: orientation * dir (Renderer.cpp:76).
-    dirs = dirs @ orient.T
-    return origins.astype(jnp.float32), dirs.astype(jnp.float32)
+    return origins, rot(dirs)
+
+
+def generate_rays(camera: Camera, pixel_ids, key):
+    """(B, 3)-row wrapper over `generate_rays_c` (tests/back-compat)."""
+    o, d = generate_rays_c(camera, pixel_ids, key)
+    return jnp.stack(o, axis=-1), jnp.stack(d, axis=-1)

@@ -18,7 +18,7 @@ machine:
 
   with the reference's terminal cases encoded in `leaf`:
     * primary miss  → env/background radiance (Scene.cpp:88-95),
-    * depth-0 emitter hit → clamp(0,1, emit·|wo·n|) (Scene.cpp:102-107),
+    * depth-0 emitter hit → clamp(0,1, emission_λ * |wo·n|) (Scene.cpp:102-107),
     * RR kill → *unclamped* l_dir (Scene.cpp:129,156 — the early return skips
       the final clamps),
     * bounce ray missed or hit an emitter → clamp15(l_dir) +
@@ -35,6 +35,9 @@ machine:
   fully deterministic, reproducible, and parallel — replacing the reference's
   thread-indexed (and accidentally default-seeded, global.hpp:14 static-in-
   header) mt19937s.
+- All 3-vectors flow as COMPONENT TUPLES of (B,) arrays (utils/vec.py): the
+  (B,3)-row form cost >50% of device time in XLA reshape/copy relayouts at
+  Pallas boundaries and NEE repeats.
 """
 
 from functools import partial
@@ -45,29 +48,29 @@ import jax.numpy as jnp
 from jax import lax
 
 from mcpt_tpu.bsdf import (
-    eval_bsdf,
-    fresnel,
+    _chan_pick,
+    eval_bsdf_c,
+    fresnel_c,
     gather_material,
-    pdf,
-    refract,
-    sample_microfacet_normal,
+    pdf_c,
+    refract_c,
+    repeat_material,
+    sample_mfn_c,
 )
 from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, T_MAX
-from mcpt_tpu.envmap import sample_env
-from mcpt_tpu.intersect import Hit, intersect, occlude_t, surface_at
-from mcpt_tpu.lights import sample_light
+from mcpt_tpu.envmap import sample_env_chan_c
+from mcpt_tpu.intersect import Hit, intersect_c, occlude_t_c, surface_at_c
+from mcpt_tpu.lights import sample_light_c
 from mcpt_tpu.utils.gather import gather_rows
-from mcpt_tpu.utils.vec import dot, reflect, safe_normalize
-
-
-def _extract(chan, rgb):
-    """WaveLen.hpp:31-43 `extract`: pick the lane's channel from an RGB.
-
-    One-hot multiply-sum, NOT take_along_axis: XLA lowers the per-lane gather
-    to a TPU dynamic-gather that profiled at 117 ms for a 668K-lane batch —
-    half the whole bounce loop. The one-hot form fuses into neighbors."""
-    oh = jax.nn.one_hot(chan, 3, dtype=rgb.dtype)
-    return jnp.sum(rgb * oh, axis=1)
+from mcpt_tpu.utils.vec import (
+    add3,
+    dot3,
+    neg3,
+    reflect3,
+    scale3,
+    sub3,
+    where3,
+)
 
 
 def _detach_hit(hit: Hit) -> Hit:
@@ -86,45 +89,50 @@ def _detach_hit(hit: Hit) -> Hit:
     )
 
 
-def direct_lighting(pack, key, wo, p, n, uv, mat_ids, lam, chan, is_reflect, method):
+def direct_lighting_c(pack, key, wo, p, n, uv, m, lam, chan, is_reflect, method):
     """NEE estimator, Scene.cpp:56-82. Returns the *un-weighted* sum (the
     caller applies the kr / (1-kr) fresnel weight of Scene.cpp:114-119).
 
     Each lane draws `n_dir_sample` light samples; the (B, S) problem is
     flattened to one (B*S,) shadow-ray batch so the intersect stays a single
-    large kernel.
+    large kernel. `m` is the caller's MatLane at B — repeated here as cheap
+    (B,)-array repeats instead of a re-gather at B*S.
     """
     if pack.n_emitters == 0:
-        return jnp.zeros(p.shape[0], jnp.float32)
-    b = p.shape[0]
+        return jnp.zeros(p[0].shape[0], jnp.float32)
+    b = p[0].shape[0]
     s = pack.n_dir_sample
-    u = jax.random.uniform(key, (b * s, 4), dtype=jnp.float32)
-    ls = sample_light(pack, u)
-
     rep = lambda x: jnp.repeat(x, s, axis=0)
-    p_r, n_r, wo_r, uv_r = rep(p), rep(n), rep(wo), rep(uv)
-    lam_r, chan_r, isr_r = rep(lam), rep(chan), rep(is_reflect)
-    m_r = gather_material(pack, rep(mat_ids))
+    rep3 = lambda c: (rep(c[0]), rep(c[1]), rep(c[2]))
+    chan_r = rep(chan)
 
-    delta = ls.p - p_r
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-20))
-    ws = delta / dist[:, None]
+    u = jax.random.uniform(key, (b * s, 4), dtype=jnp.float32)
+    ls = sample_light_c(pack, u, chan_r)
+
+    p_r, n_r, wo_r = rep3(p), rep3(n), rep3(wo)
+    uv_r = (rep(uv[0]), rep(uv[1]))
+    lam_r, isr_r = rep(lam), rep(is_reflect)
+    m_r = repeat_material(m, s)
+
+    delta = sub3(ls.p, p_r)
+    dist = jnp.sqrt(jnp.maximum(dot3(delta, delta), 1e-20))
+    inv_dist = 1.0 / dist
+    ws = scale3(delta, inv_dist)
 
     if pack.enable_shadow:
-        sh_t = occlude_t(pack, p_r, ws, method=method)
+        sh_t = occlude_t_c(pack, p_r, ws, method=method)
         visible = (sh_t < T_MAX) & (jnp.abs(sh_t - dist) < EPSILON)
     else:
         visible = jnp.ones(b * s, bool)
 
-    emit = _extract(chan_r, ls.emit)
-    ev = eval_bsdf(m_r, ws, wo_r, n_r, lam_r, uv_r, chan_r, isr_r)
+    ev = eval_bsdf_c(m_r, ws, wo_r, n_r, lam_r, uv_r, chan_r, isr_r)
     # Scene.cpp:76-78: emit · eval · (ws·n) · (−ws·n_light) / dist² / pdf / S.
     contrib = (
-        emit
+        ls.emit
         * ev
-        * dot(ws, n_r)
-        * dot(-ws, ls.n)
-        / (dist * dist)
+        * dot3(ws, n_r)
+        * -dot3(ws, ls.n)
+        * (inv_dist * inv_dist)
         / ls.pdf
         / jnp.float32(s)
     )
@@ -137,7 +145,7 @@ class PathStats(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("max_bounces", "method", "early_exit"))
-def trace_paths(
+def trace_paths_c(
     pack,
     o,
     d,
@@ -148,10 +156,10 @@ def trace_paths(
     method: str = "auto",
     early_exit: bool = True,
 ):
-    """Radiance for a batch of primary rays.
+    """Radiance for a batch of primary rays (component form).
 
-    o, d: (B,3); lam: (B,) wavelength in µm; chan: (B,) int32 RGB channel.
-    Returns (radiance (B,), PathStats).
+    o, d: 3-tuples of (B,); lam: (B,) wavelength in µm; chan: (B,) int32 RGB
+    channel. Returns (radiance (B,), PathStats).
 
     early_exit=True runs the bounce loop as a `lax.while_loop` that stops as
     soon as every lane has terminated (RR kills ~(1-rrRate) of lanes per
@@ -159,44 +167,44 @@ def trace_paths(
     large speedup. Use early_exit=False (pure scan) when the computation must
     be differentiable (lax.while_loop has no reverse-mode rule).
     """
-    b = o.shape[0]
-    hit0 = _detach_hit(intersect(pack, o, d, method=method))
+    b = o[0].shape[0]
+    hit0 = _detach_hit(intersect_c(pack, o, d, method=method))
     alive0 = jnp.ones(b, bool)
     shadow_rays_per_vertex = pack.n_dir_sample if pack.n_emitters else 0
 
     def body(carry, depth):
         o, d, hit, alive = carry
         kd = jax.random.fold_in(key, depth)
-        surf = surface_at(pack, o, d, hit)
+        surf = surface_at_c(pack, o, d, hit)
         happened = surf.happened
-        wo = -d
+        wo = neg3(d)
 
         # Terminal A: miss → env/background (Scene.cpp:88-95).
-        env_leaf = _extract(chan, sample_env(pack, d))
+        env_leaf = sample_env_chan_c(pack, d, chan)
         # Terminal B: depth-0 emitter hit (Scene.cpp:102-107).
         m = gather_material(pack, surf.mat)
-        emit_lane = _extract(chan, m.emission)
-        b_leaf = jnp.clip(emit_lane * jnp.abs(dot(wo, surf.n)), 0.0, 1.0)
+        emit_lane = _chan_pick(chan, m.emission[:, 0], m.emission[:, 1], m.emission[:, 2])
+        b_leaf = jnp.clip(emit_lane * jnp.abs(dot3(wo, surf.n)), 0.0, 1.0)
         is_b = (depth == 0) & happened & surf.emissive
 
         at_vertex = alive & happened & ~is_b
 
         # Microfacet normal + Fresnel split (Scene.cpp:109-110).
         xi = jax.random.uniform(jax.random.fold_in(kd, 0), (b, 4), dtype=jnp.float32)
-        mfn = sample_microfacet_normal(m, surf.n, xi[:, 0], xi[:, 1])
-        kr = fresnel(m, d, mfn, lam)
+        mfn = sample_mfn_c(m, surf.n, xi[:, 0], xi[:, 1])
+        kr = fresnel_c(m, d, mfn, lam)
 
         # NEE from the ε-offset point (Scene.cpp:113-119).
-        p_dl = surf.p + surf.n * EPSILON
-        inner = dot(wo, surf.n) < 0.0
-        l_dir_raw = direct_lighting(
+        p_dl = add3(surf.p, scale3(surf.n, jnp.float32(EPSILON)))
+        inner = dot3(wo, surf.n) < 0.0
+        l_dir_raw = direct_lighting_c(
             pack,
             jax.random.fold_in(kd, 1),
             wo,
             p_dl,
             surf.n,
             surf.uv,
-            surf.mat,
+            m,
             lam,
             chan,
             ~inner,
@@ -207,37 +215,36 @@ def trace_paths(
         # Russian roulette + stochastic reflect/refract (Scene.cpp:121-159).
         rr_kill = xi[:, 2] >= pack.rr_rate
         branch_reflect = xi[:, 3] < kr
-        womfn = dot(wo, mfn)
+        womfn = dot3(wo, mfn)
         sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
-        sign_refract = -sign_reflect
-        sign = jnp.where(branch_reflect, sign_reflect, sign_refract)
-        p_new = surf.p + surf.n * (EPSILON * sign[:, None])
+        sign = jnp.where(branch_reflect, sign_reflect, -sign_reflect)
+        p_new = add3(surf.p, scale3(surf.n, EPSILON * sign))
 
-        wi = jnp.where(
-            branch_reflect[:, None],
-            reflect(wo, mfn),
-            refract(m, d, mfn, lam),
+        wi = where3(
+            branch_reflect,
+            reflect3(wo, mfn),
+            refract_c(m, d, mfn, lam),
         )
-        nxt = _detach_hit(intersect(pack, p_new, wi, method=method))
+        nxt = _detach_hit(intersect_c(pack, p_new, wi, method=method))
         nxt_emissive = (nxt.prim >= 0) & (
             gather_rows(pack.prim_emissive, jnp.maximum(nxt.prim, 0))[:, 0] > 0.5
         )
 
-        ev = eval_bsdf(m, wi, wo, surf.n, lam, surf.uv, chan, branch_reflect)
-        pv = pdf(m, wi, wo, surf.n, lam, branch_reflect)
+        ev = eval_bsdf_c(m, wi, wo, surf.n, lam, surf.uv, chan, branch_reflect)
+        pv = pdf_c(m, wi, wo, surf.n, lam, branch_reflect)
         # Indirect weight (Scene.cpp:135-144,162-171). Note the reference's
         # |wo·n| cosine (not |wi·n|) — kept verbatim. Zero the weight when the
         # pdf underflows (measure-zero events that would inf/NaN in C++ too).
         pv_ok = jnp.abs(pv) > 1e-10  # grad-safe reciprocal threshold
         w_rough = jnp.where(
             pv_ok,
-            ev * jnp.abs(dot(wo, surf.n)) / jnp.where(pv_ok, pv, 1.0) * pack.inv_rr,
+            ev * jnp.abs(dot3(wo, surf.n)) / jnp.where(pv_ok, pv, 1.0) * pack.inv_rr,
             0.0,
         )
         w = jnp.where(m.dirac, ev * pack.inv_rr, w_rough)
 
         cont = at_vertex & ~rr_kill & (nxt.prim >= 0) & ~nxt_emissive
-        env_ind = _extract(chan, sample_env(pack, wi)) * ev * pack.inv_rr
+        env_ind = sample_env_chan_c(pack, wi, chan) * ev * pack.inv_rr
 
         leaf = jnp.where(
             ~alive,
@@ -258,9 +265,7 @@ def trace_paths(
             ),
         )
         terminal = ~cont
-        n_rays = jnp.sum(
-            jnp.where(at_vertex, 1 + shadow_rays_per_vertex, 0)
-        )
+        n_rays = jnp.sum(jnp.where(at_vertex, 1 + shadow_rays_per_vertex, 0))
         carry = (p_new, wi, nxt, cont)
         return carry, (l_dir, w, leaf, terminal, n_rays)
 
@@ -319,3 +324,29 @@ def trace_paths(
     )
     stats = PathStats(rays=jnp.sum(ray_counts) + b)
     return radiance, stats
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "method", "early_exit"))
+def trace_paths(
+    pack,
+    o,
+    d,
+    lam,
+    chan,
+    key,
+    max_bounces: int = 8,
+    method: str = "auto",
+    early_exit: bool = True,
+):
+    """(B, 3)-row wrapper over `trace_paths_c` (tests/back-compat)."""
+    return trace_paths_c(
+        pack,
+        (o[:, 0], o[:, 1], o[:, 2]),
+        (d[:, 0], d[:, 1], d[:, 2]),
+        lam,
+        chan,
+        key,
+        max_bounces=max_bounces,
+        method=method,
+        early_exit=early_exit,
+    )

@@ -56,6 +56,19 @@ class Surface(NamedTuple):
     t: jnp.ndarray  # (B,)
 
 
+class SurfaceC(NamedTuple):
+    """Component-form Surface: p/n are 3-tuples of (B,), uv a 2-tuple —
+    the hot-path layout (see utils/vec.py)."""
+
+    happened: jnp.ndarray  # (B,) bool
+    p: tuple  # ((B,),)*3
+    n: tuple  # ((B,),)*3
+    uv: tuple  # ((B,),)*2
+    mat: jnp.ndarray  # (B,) int32
+    emissive: jnp.ndarray  # (B,) bool
+    t: jnp.ndarray  # (B,)
+
+
 # ---------------------------------------------------------------------------
 # Sphere test (shared)
 # ---------------------------------------------------------------------------
@@ -267,16 +280,28 @@ def intersect_bvh(pack, o, d) -> Hit:
     return Hit(t=t_best, prim=prim_best, u=u_best, v=v_best)
 
 
-def intersect_pallas(pack, o, d) -> Hit:
-    """Triangles via the fused Pallas kernel; spheres via jnp (S is tiny).
+def intersect_pallas_c(pack, oc, dc) -> Hit:
+    """All primitives (triangles + spheres) in one fused SC Pallas kernel.
 
-    Uses the MXU-formulated kernel (intersect_tris_pallas_mm): the
-    world→unit-triangle transforms run as full-f32 matmuls, ~2x the
-    VPU-broadcast kernel's throughput (87 vs 44 Mrays/s at B=1M on v5e,
-    bit-validated against the dense path)."""
-    from mcpt_tpu.kernels.intersect_pallas import intersect_tris_pallas_mm
+    The scalar-constant kernel loops primitives as SMEM scalars over dense
+    (8,128) ray tiles — ~6x the MXU-matmul kernel on small scenes (which
+    additionally pads triangles to 128). Scenes whose triangle table exceeds
+    the kernel's SMEM budget fall back to the MXU kernel."""
+    from mcpt_tpu.kernels.intersect_pallas import (
+        SC_MAX_TRIS,
+        intersect_prims_pallas_c,
+        intersect_tris_pallas_mm,
+    )
 
     interpret = jax.default_backend() != "tpu"
+    n_tris = pack.tri_v0.shape[0]
+    if pack.tri_sc.shape[0] <= SC_MAX_TRIS:
+        t_best, prim, u, v = intersect_prims_pallas_c(
+            pack.tri_sc, pack.sph_geom, n_tris, oc, dc, interpret=interpret
+        )
+        return Hit(t=t_best, prim=prim, u=u, v=v)
+    o = jnp.stack(oc, axis=-1)
+    d = jnp.stack(dc, axis=-1)
     t_tri, prim_tri, u, v = intersect_tris_pallas_mm(
         pack.tri_kern, o, d, interpret=interpret
     )
@@ -285,12 +310,17 @@ def intersect_pallas(pack, o, d) -> Hit:
     s_arg = jnp.argmin(sph_t, axis=1).astype(jnp.int32)
     sph_wins = s_min < t_tri
     t_best = jnp.where(sph_wins, s_min, t_tri)
-    n_tris = pack.tri_v0.shape[0]
     prim = jnp.where(sph_wins, n_tris + s_arg, prim_tri)
     prim = jnp.where(t_best < T_MAX, prim, -1)
     u = jnp.where(sph_wins, 0.0, u)
     v = jnp.where(sph_wins, 0.0, v)
     return Hit(t=t_best, prim=prim, u=u, v=v)
+
+
+def intersect_pallas(pack, o, d) -> Hit:
+    return intersect_pallas_c(
+        pack, (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2])
+    )
 
 
 # Triangle-table size above which the all-pairs paths give way to the BVH.
@@ -315,6 +345,20 @@ def _resolve_method(pack, method: str) -> str:
     return method
 
 
+def intersect_c(pack, oc, dc, method: str = "auto") -> Hit:
+    """Component-form nearest hit: oc/dc are 3-tuples of (B,) arrays."""
+    method = _resolve_method(pack, method)
+    if method == "pallas":
+        return intersect_pallas_c(pack, oc, dc)
+    o = jnp.stack(oc, axis=-1)
+    d = jnp.stack(dc, axis=-1)
+    if method == "dense":
+        return intersect_dense(pack, o, d)
+    if method == "bvh":
+        return intersect_bvh(pack, o, d)
+    raise ValueError(f"unknown intersect method {method!r}")
+
+
 def intersect(pack, o, d, method: str = "auto") -> Hit:
     method = _resolve_method(pack, method)
     if method == "pallas":
@@ -326,7 +370,7 @@ def intersect(pack, o, d, method: str = "auto") -> Hit:
     raise ValueError(f"unknown intersect method {method!r}")
 
 
-def occlude_t(pack, o, d, method: str = "auto") -> jnp.ndarray:
+def occlude_t_c(pack, oc, dc, method: str = "auto") -> jnp.ndarray:
     """Nearest-hit distance only (T_MAX on miss) — the shadow-ray query.
 
     Visibility in the reference is `|t_nearest − dist| < EPSILON`
@@ -335,14 +379,36 @@ def occlude_t(pack, o, d, method: str = "auto") -> jnp.ndarray:
     winner bookkeeping (~25% fewer VPU ops on 4/5 of all rays traced)."""
     method = _resolve_method(pack, method)
     if method == "pallas":
-        from mcpt_tpu.kernels.intersect_pallas import intersect_tris_pallas_mm
+        from mcpt_tpu.kernels.intersect_pallas import (
+            SC_MAX_TRIS,
+            intersect_prims_pallas_c,
+            intersect_tris_pallas_mm,
+        )
 
         interpret = jax.default_backend() != "tpu"
+        if pack.tri_sc.shape[0] <= SC_MAX_TRIS:
+            return intersect_prims_pallas_c(
+                pack.tri_sc,
+                pack.sph_geom,
+                pack.tri_v0.shape[0],
+                oc,
+                dc,
+                interpret=interpret,
+                occlusion=True,
+            )[0]
+        o = jnp.stack(oc, axis=-1)
+        d = jnp.stack(dc, axis=-1)
         t_tri = intersect_tris_pallas_mm(
             pack.tri_kern, o, d, interpret=interpret, occlusion=True
         )[0]
         return jnp.minimum(t_tri, jnp.min(_sphere_t(pack, o, d), axis=1))
-    return intersect(pack, o, d, method=method).t
+    return intersect_c(pack, oc, dc, method=method).t
+
+
+def occlude_t(pack, o, d, method: str = "auto") -> jnp.ndarray:
+    return occlude_t_c(
+        pack, (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]), method=method
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +416,8 @@ def occlude_t(pack, o, d, method: str = "auto") -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def surface_at(pack, o, d, hit: Hit) -> Surface:
-    """Shading info for the winning primitive per lane.
+def surface_at_c(pack, oc, dc, hit: Hit) -> SurfaceC:
+    """Shading info for the winning primitive per lane (component form).
 
     One one-hot MXU gather against the fused tri_shade / sph_shade tables
     (see utils/gather.py — native TPU gathers measured 10-30x slower);
@@ -366,23 +432,55 @@ def surface_at(pack, o, d, hit: Hit) -> Surface:
     # Missed lanes keep p = o: o + d*T_MAX overflows every downstream
     # computation fed from p (shadow-ray transforms hit inf, and inf*0 from
     # their masks poisons reverse-mode with NaNs).
-    p = o + d * jnp.where(happened, hit.t, 0.0)[:, None]
+    t_eff = jnp.where(happened, hit.t, 0.0)
+    p = (oc[0] + dc[0] * t_eff, oc[1] + dc[1] * t_eff, oc[2] + dc[2] * t_eff)
 
     ts = gather_rows(pack.tri_shade, tid)  # (B, 11); zero row when not a tri
-    u = hit.u[:, None]
-    v = hit.v[:, None]
-    uv_tri = (1.0 - u - v) * ts[:, 3:5] + u * ts[:, 5:7] + v * ts[:, 7:9]
+    u = hit.u
+    v = hit.v
+    w0 = 1.0 - u - v
+    uv_tri = (
+        w0 * ts[:, 3] + u * ts[:, 5] + v * ts[:, 7],
+        w0 * ts[:, 4] + u * ts[:, 6] + v * ts[:, 8],
+    )
     ss = gather_rows(pack.sph_shade, sid)  # (B, 5); zero row when not a sphere
-    n_sph = p - ss[:, 0:3]
-    n_sph = n_sph / jnp.maximum(jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-20)
+    ns = (p[0] - ss[:, 0], p[1] - ss[:, 1], p[2] - ss[:, 2])
+    inv = 1.0 / jnp.maximum(
+        jnp.sqrt(ns[0] * ns[0] + ns[1] * ns[1] + ns[2] * ns[2]), 1e-20
+    )
+    n_sph = (ns[0] * inv, ns[1] * inv, ns[2] * inv)
 
-    n = jnp.where(is_tri[:, None], ts[:, 0:3], n_sph)
-    uv = jnp.where(is_tri[:, None], uv_tri, jnp.zeros_like(uv_tri))
+    n = (
+        jnp.where(is_tri, ts[:, 0], n_sph[0]),
+        jnp.where(is_tri, ts[:, 1], n_sph[1]),
+        jnp.where(is_tri, ts[:, 2], n_sph[2]),
+    )
+    zero = jnp.zeros_like(u)
+    uv = (
+        jnp.where(is_tri, uv_tri[0], zero),
+        jnp.where(is_tri, uv_tri[1], zero),
+    )
     mat = jnp.where(is_tri, ts[:, 9], ss[:, 3]).astype(jnp.int32)
     mat = jnp.where(happened, mat, 0)
     emissive = happened & (jnp.where(is_tri, ts[:, 10], ss[:, 4]) > 0.5)
-    return Surface(
+    return SurfaceC(
         happened=happened, p=p, n=n, uv=uv, mat=mat, emissive=emissive, t=hit.t
+    )
+
+
+def surface_at(pack, o, d, hit: Hit) -> Surface:
+    """(B, 3)-row wrapper over `surface_at_c` (tests/back-compat)."""
+    sc = surface_at_c(
+        pack, (o[:, 0], o[:, 1], o[:, 2]), (d[:, 0], d[:, 1], d[:, 2]), hit
+    )
+    return Surface(
+        happened=sc.happened,
+        p=jnp.stack(sc.p, axis=-1),
+        n=jnp.stack(sc.n, axis=-1),
+        uv=jnp.stack(sc.uv, axis=-1),
+        mat=sc.mat,
+        emissive=sc.emissive,
+        t=sc.t,
     )
 
 

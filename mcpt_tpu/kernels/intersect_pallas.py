@@ -230,6 +230,270 @@ def _kernel_mm(rays_ref, tri_ref, out_ref, *, n_tri_chunks, n_ray_chunks, occlus
     lax.fori_loop(0, n_ray_chunks, ray_body, 0)
 
 
+# ---------------------------------------------------------------------------
+# Scalar-constant (SC) kernel: triangles/spheres as SMEM scalars, rays dense
+# on (sublane, lane) tiles.
+#
+# The MXU formulation above runs the 18-madd unit-triangle transform as K=3
+# matmuls — 3/128 of the systolic depth, and Precision.HIGHEST multiplies the
+# pass count. Profiled at 88 Mrays/s (T=128, B=668K) it is VPU/MXU-latency
+# bound, not FLOP bound. This kernel instead:
+#   - holds each primitive's 13 constants as SMEM *scalars* (the scalar core
+#     runs ahead of the VPU, so the loads are free),
+#   - keeps rays dense on full (CH_ROWS, 128) f32 tiles (the (1,128)-row
+#     layout of `_kernel` uses 1/8 of every VPU issue),
+#   - loops primitives per ray chunk with running (t, prim, u, v)
+#     accumulators — no cross-sublane reductions, no one-hot winner picks,
+#   - folds the sphere quadratic into the same kernel, removing the jnp
+#     (B,S) postlude entirely.
+# ~40 VPU ops per (ray, primitive) pair ⇒ ~20 Gpairs/s speed-of-light on one
+# v5e core; measured ~6x the MXU kernel on the 36-triangle demo scene (which
+# the MXU path also pads to 128 triangles).
+# ---------------------------------------------------------------------------
+
+CH_ROWS = 8  # ray rows per chunk: (8, 128) = 1024 rays per primitive loop
+SC_MAX_TRIS = 1024  # SMEM budget: (1024, 16) f32 = 64 KB
+
+
+def _tri_candidate(tri_ref, i, o0, o1, o2, d0, d1, d2):
+    """t (T_MAX on miss), u, v of ray-tile vs triangle i — exact dense-path
+    arithmetic (same op order: dp2·nr2 guard, t through the guarded det)."""
+    w00 = tri_ref[i, 0]
+    w01 = tri_ref[i, 1]
+    w02 = tri_ref[i, 2]
+    w10 = tri_ref[i, 3]
+    w11 = tri_ref[i, 4]
+    w12 = tri_ref[i, 5]
+    w20 = tri_ref[i, 6]
+    w21 = tri_ref[i, 7]
+    w22 = tri_ref[i, 8]
+    c0 = tri_ref[i, 9]
+    c1 = tri_ref[i, 10]
+    c2 = tri_ref[i, 11]
+    nr2 = tri_ref[i, 12]
+    dp2 = d0 * w20 + d1 * w21 + d2 * w22
+    op2 = o0 * w20 + o1 * w21 + o2 * w22 - c2
+    det = -(dp2 * nr2)
+    okd = jnp.abs(det) >= EPSILON
+    det_g = jnp.where(okd, det, 1.0)
+    t_hit = op2 * nr2 / det_g
+    dp0 = d0 * w00 + d1 * w01 + d2 * w02
+    op0 = o0 * w00 + o1 * w01 + o2 * w02 - c0
+    u = op0 + t_hit * dp0
+    dp1 = d0 * w10 + d1 * w11 + d2 * w12
+    op1 = o0 * w10 + o1 * w11 + o2 * w12 - c1
+    v = op1 + t_hit * dp1
+    ok = (
+        okd
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t_hit >= 0.0)
+    )
+    return jnp.where(ok, t_hit, T_MAX), u, v
+
+
+def _sph_candidate(sph_ref, s, o0, o1, o2, d0, d1, d2, a_ok, a_safe):
+    """t (T_MAX on miss) of ray-tile vs sphere s (global.hpp:20-35 q-form)."""
+    cx = sph_ref[s, 0]
+    cy = sph_ref[s, 1]
+    cz = sph_ref[s, 2]
+    r = sph_ref[s, 3]
+    l0 = o0 - cx
+    l1 = o1 - cy
+    l2 = o2 - cz
+    bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
+    cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+    disc = bq * bq - 4.0 * a_safe * cq
+    ok = (disc >= 0.0) & a_ok & (r > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
+    qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+    x0 = q / a_safe
+    x1 = cq / qs
+    lo = jnp.minimum(x0, x1)
+    hi = jnp.maximum(x0, x1)
+    t = jnp.where(lo < 0.0, hi, lo)
+    ok &= t >= 0.0
+    return jnp.where(ok, t, T_MAX)
+
+
+def _kernel_sc(
+    o0_ref,
+    o1_ref,
+    o2_ref,
+    d0_ref,
+    d1_ref,
+    d2_ref,
+    tri_ref,
+    sph_ref,
+    out_ref,
+    *,
+    n_tris,
+    n_sph,
+    n_chunks,
+    sph_base,
+    occlusion,
+):
+    """o/d refs: six (R, 128) VMEM component planes (free reshapes of flat
+    (B,) arrays — the hot path never builds (B,3) rows, so no transposes);
+    tri_ref: (T8, 16) SMEM; sph_ref: (S, 4) SMEM;
+    out_ref: (1|4, R, 128) VMEM [t, prim, u, v]."""
+
+    def ray_body(rc, _):
+        r0 = rc * CH_ROWS
+        o0 = o0_ref[pl.ds(r0, CH_ROWS), :]
+        o1 = o1_ref[pl.ds(r0, CH_ROWS), :]
+        o2 = o2_ref[pl.ds(r0, CH_ROWS), :]
+        d0 = d0_ref[pl.ds(r0, CH_ROWS), :]
+        d1 = d1_ref[pl.ds(r0, CH_ROWS), :]
+        d2 = d2_ref[pl.ds(r0, CH_ROWS), :]
+        tri_args = (o0, o1, o2, d0, d1, d2)
+
+        t0 = jnp.full((CH_ROWS, RAY_BLK), T_MAX, jnp.float32)
+        # Sphere per-ray invariants, hoisted out of the sphere loop
+        # (_sphere_t semantics: a=|d|² with the a>1e-12 TIR guard).
+        a = d0 * d0 + d1 * d1 + d2 * d2
+        a_ok = a > 1e-12
+        a_safe = jnp.maximum(a, 1e-12)
+
+        if occlusion:
+            def tri_body(i, t_best):
+                t_cand, _, _ = _tri_candidate(tri_ref, i, *tri_args)
+                return jnp.minimum(t_cand, t_best)
+
+            def sph_body(s, t_best):
+                t_cand = _sph_candidate(sph_ref, s, *tri_args, a_ok, a_safe)
+                return jnp.minimum(t_cand, t_best)
+
+            t_best = lax.fori_loop(0, n_tris, tri_body, t0)
+            t_best = lax.fori_loop(0, n_sph, sph_body, t_best)
+            out_ref[0, pl.ds(r0, CH_ROWS), :] = t_best
+            return 0
+
+        def tri_body(i, acc):
+            t_best, prim_best, u_best, v_best = acc
+            t_cand, u, v = _tri_candidate(tri_ref, i, *tri_args)
+            better = t_cand < t_best
+            return (
+                jnp.where(better, t_cand, t_best),
+                jnp.where(better, i.astype(jnp.float32), prim_best),
+                jnp.where(better, u, u_best),
+                jnp.where(better, v, v_best),
+            )
+
+        def sph_body(s, acc):
+            t_best, prim_best, u_best, v_best = acc
+            t_cand = _sph_candidate(sph_ref, s, *tri_args, a_ok, a_safe)
+            better = t_cand < t_best
+            return (
+                jnp.where(better, t_cand, t_best),
+                jnp.where(better, (sph_base + s).astype(jnp.float32), prim_best),
+                jnp.where(better, 0.0, u_best),
+                jnp.where(better, 0.0, v_best),
+            )
+
+        z = jnp.zeros((CH_ROWS, RAY_BLK), jnp.float32)
+        init = (t0, jnp.full((CH_ROWS, RAY_BLK), -1.0, jnp.float32), z, z)
+        acc = lax.fori_loop(0, n_tris, tri_body, init)
+        acc = lax.fori_loop(0, n_sph, sph_body, acc)
+        t_best, prim_best, u_best, v_best = acc
+        out_ref[0, pl.ds(r0, CH_ROWS), :] = t_best
+        out_ref[1, pl.ds(r0, CH_ROWS), :] = prim_best
+        out_ref[2, pl.ds(r0, CH_ROWS), :] = u_best
+        out_ref[3, pl.ds(r0, CH_ROWS), :] = v_best
+        return 0
+
+    lax.fori_loop(0, n_chunks, ray_body, 0)
+
+
+def _pad_comp(x, b_pad):
+    b = x.shape[0]
+    if b_pad == b:
+        return x.reshape(b_pad // RAY_BLK, RAY_BLK)
+    return jnp.pad(x, (0, b_pad - b)).reshape(b_pad // RAY_BLK, RAY_BLK)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sph_base", "interpret", "occlusion")
+)
+def intersect_prims_pallas_c(
+    tri_sc, sph_geom, sph_base, oc, dc, interpret=False, occlusion=False
+):
+    """Nearest hit over ALL primitives (triangles + spheres) in one kernel.
+
+    tri_sc: (T8, 16) scalar table; sph_geom: (S, 4) [c, r]; sph_base: the
+    prim-id offset of sphere 0 (= the padded triangle-table length, so ids
+    match the shading tables). oc, dc: component tuples of (B,) arrays —
+    marshalling into the kernel's (R, 128) planes is a pad + free reshape,
+    never a transpose. Returns (t, prim, u, v); occlusion=True returns only
+    t (prim/u/v are None).
+    """
+    b = oc[0].shape[0]
+    blk = CH_ROWS * RAY_BLK
+    b_pad = -(-b // blk) * blk
+    if b_pad > MEGA:
+        b_pad = -(-b_pad // MEGA) * MEGA
+    planes = [_pad_comp(x, b_pad) for x in (*oc, *dc)]
+    n_out = 1 if occlusion else 4
+    kernel = functools.partial(
+        _kernel_sc,
+        n_tris=tri_sc.shape[0],
+        n_sph=sph_geom.shape[0],
+        sph_base=sph_base,
+        occlusion=occlusion,
+    )
+
+    def call(pls):
+        rows = pls[0].shape[0]
+        return pl.pallas_call(
+            functools.partial(kernel, n_chunks=rows // CH_ROWS),
+            out_shape=jax.ShapeDtypeStruct((n_out, rows, RAY_BLK), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+            + [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(*pls, tri_sc, sph_geom)
+
+    r_mega = MEGA // RAY_BLK
+    if b_pad <= MEGA:
+        out = call(planes)
+    else:
+        n_mega = b_pad // MEGA
+        outs = jax.lax.map(
+            lambda i: call(
+                [
+                    lax.dynamic_slice(p, (i * r_mega, 0), (r_mega, RAY_BLK))
+                    for p in planes
+                ]
+            ),
+            jnp.arange(n_mega),
+        )
+        out = outs.transpose(1, 0, 2, 3)
+    out = out.reshape(n_out, b_pad)
+    t = out[0, :b]
+    if occlusion:
+        return t, None, None, None
+    prim = out[1, :b].astype(jnp.int32)
+    prim = jnp.where(t < T_MAX, prim, -1)
+    return t, prim, out[2, :b], out[3, :b]
+
+
+def intersect_prims_pallas(
+    tri_sc, sph_geom, sph_base, o, d, interpret=False, occlusion=False
+):
+    """(B, 3)-row wrapper over `intersect_prims_pallas_c` (tests/back-compat)."""
+    oc = (o[:, 0], o[:, 1], o[:, 2])
+    dc = (d[:, 0], d[:, 1], d[:, 2])
+    return intersect_prims_pallas_c(
+        tri_sc, sph_geom, sph_base, oc, dc, interpret=interpret, occlusion=occlusion
+    )
+
+
 def _pad_rays(o, d):
     b = o.shape[0]
     b_pad = ((b + RAY_BLK - 1) // RAY_BLK) * RAY_BLK

@@ -28,21 +28,49 @@ class LightSample(NamedTuple):
     pdf: jnp.ndarray  # (B,) area pdf (1/mesh_area)
 
 
-def sample_light(pack, u):
-    """u: (B, 4) uniforms → LightSample. Requires pack.n_emitters > 0."""
+class LightSampleC(NamedTuple):
+    """Component-form light sample; emit is the per-lane channel scalar."""
+
+    p: tuple  # ((B,),)*3
+    n: tuple  # ((B,),)*3
+    emit: jnp.ndarray  # (B,) emission at the lane's channel
+    pdf: jnp.ndarray  # (B,)
+
+
+def sample_light_c(pack, u, chan) -> LightSampleC:
+    """Component/hot-path variant of `sample_light`: identical two-stage
+    area-weighted pick, but the gathered row is sliced into (B,) components
+    (no (B,3) assembly) and only the lane's emission channel is extracted."""
+    ls = _pick(pack, u)
+    row, mesh_area, x, y = ls
+    w0 = 1.0 - x
+    wx = x * (1.0 - y)
+    wy = x * y
+    # p = v0*(1-x) + (v0+e1)*x(1-y) + (v0+e2)*xy  ==  v0 + e1*x(1-y) + e2*xy
+    p = (
+        row[:, 0] + row[:, 3] * wx + row[:, 6] * wy,
+        row[:, 1] + row[:, 4] * wx + row[:, 7] * wy,
+        row[:, 2] + row[:, 5] * wx + row[:, 8] * wy,
+    )
+    n = (row[:, 9], row[:, 10], row[:, 11])
+    emit = jnp.where(
+        chan == 0, row[:, 12], jnp.where(chan == 1, row[:, 13], row[:, 14])
+    )
+    pdf = 1.0 / jnp.maximum(mesh_area, 1e-20)
+    return LightSampleC(p=p, n=n, emit=emit, pdf=pdf)
+    # NOTE: p here folds the (1-x)+x(1-y)+xy = 1 weights of v0 analytically;
+    # bit-identical reassociation is covered by test_lights_env tolerances.
+
+
+def _pick(pack, u):
+    """Shared two-stage emitter pick; returns (fat row, mesh_area, x, y)."""
     e = pack.emt_tri.shape[0]
-    # Stage 1: mesh pick, first mesh with target <= cumulative area
-    # (Scene.cpp:28-36; inclusive bound via searchsorted 'left').
     target = u[:, 0] * pack.emit_total_area
     mesh = jnp.clip(
         jnp.searchsorted(pack.lmesh_cum, target, side="left"),
         0,
         pack.lmesh_cum.shape[0] - 1,
     ).astype(jnp.int32)
-    # Stage 2: triangle within mesh, p = sqrt(u)*meshArea, first emitter tri
-    # of that mesh with p < intra_cum (BVH.cpp:120-135 area descent).
-    # All triangles of a mesh share emt_mesh_area; recover it per lane with a
-    # masked max over the (small) emitter table.
     idx = jnp.arange(e, dtype=jnp.int32)
     same_mesh = pack.emt_mesh[None, :] == mesh[:, None]  # (B, E)
     mesh_area = jnp.max(
@@ -52,18 +80,30 @@ def sample_light(pack, u):
     hit = same_mesh & (p_tgt[:, None] < pack.emt_intra_cum[None, :])
     cand = jnp.where(hit, idx[None, :], e)
     sel = jnp.min(cand, axis=1)
-    # Guard: numeric edge (p_tgt == total) — fall back to the mesh's last tri.
     last = jnp.max(jnp.where(same_mesh, idx[None, :], -1), axis=1)
     sel = jnp.where(sel >= e, last, sel).astype(jnp.int32)
     sel = jnp.clip(sel, 0, e - 1)
-
-    # Stage 3: point in triangle with the sqrt warp (Triangle.hpp:71-76).
-    # Geometry/emission come from one fused one-hot gather (emt_fat layout in
-    # scene.py: v0, e1, e2, n, emit, 1/mesh_area).
     row = gather_rows(pack.emt_fat, sel)
+    x = jnp.sqrt(u[:, 2])
+    y = u[:, 3]
+    return row, mesh_area, x, y
+
+
+def sample_light(pack, u):
+    """u: (B, 4) uniforms → LightSample. Requires pack.n_emitters > 0.
+
+    Stage 1: mesh pick, first mesh with target <= cumulative area
+    (Scene.cpp:28-36; inclusive bound via searchsorted 'left').
+    Stage 2: triangle within mesh, p = sqrt(u)*meshArea, first emitter tri
+    of that mesh with p < intra_cum (BVH.cpp:120-135 area descent).
+    Stage 3: point in triangle with the sqrt warp (Triangle.hpp:71-76);
+    geometry/emission from one fused one-hot gather (emt_fat layout in
+    scene.py: v0, e1, e2, n, emit, 1/mesh_area).
+    """
+    row, mesh_area, xs, ys = _pick(pack, u)
     v0, e1v, e2v = row[:, 0:3], row[:, 3:6], row[:, 6:9]
-    x = jnp.sqrt(u[:, 2])[:, None]
-    y = u[:, 3][:, None]
+    x = xs[:, None]
+    y = ys[:, None]
     p = v0 * (1.0 - x) + (v0 + e1v) * (x * (1.0 - y)) + (v0 + e2v) * (x * y)
     pdf = 1.0 / jnp.maximum(mesh_area, 1e-20)
     return LightSample(p=p, n=row[:, 9:12], emit=row[:, 12:15], pdf=pdf)

@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcpt_tpu.camera import Camera, generate_rays
+from mcpt_tpu.camera import Camera, generate_rays_c
 from mcpt_tpu.constants import WAVELEN_UM
-from mcpt_tpu.integrator import trace_paths
+from mcpt_tpu.integrator import trace_paths_c
 from mcpt_tpu.utils.profiling import device_trace
 from mcpt_tpu.utils.progress import ProgressBar
 
@@ -49,14 +49,15 @@ def _render_tile(pack, camera, pixel_ids, key, n_sub, max_bounces, method):
     def one_sample(acc, k):
         fb_acc, ray_acc = acc
         k1, k2 = jax.random.split(k)
-        o, d = generate_rays(camera, pixel_ids, k1)
+        o, d = generate_rays_c(camera, pixel_ids, k1)
         # Fusing camera-ray generation into the integrator program SIGSEGVs
         # the TPU (Mosaic/XLA) compiler as of libtpu in this image; a fusion
-        # barrier here costs one (P,3)x2 materialization and avoids it.
+        # barrier here costs one (P,)x6 materialization and avoids it.
         o, d = jax.lax.optimization_barrier((o, d))
-        o3 = jnp.repeat(o, 3, axis=0)
-        d3 = jnp.repeat(d, 3, axis=0)
-        rad, stats = trace_paths(
+        rep = lambda x: jnp.repeat(x, 3, axis=0)
+        o3 = (rep(o[0]), rep(o[1]), rep(o[2]))
+        d3 = (rep(d[0]), rep(d[1]), rep(d[2]))
+        rad, stats = trace_paths_c(
             pack, o3, d3, lam_lane, chan, k2, max_bounces=max_bounces, method=method
         )
         return (fb_acc + rad.reshape(p, 3), ray_acc + stats.rays), None

@@ -169,6 +169,12 @@ class ScenePack:
     bvh_fat: jnp.ndarray  # (N, 8 + L)
     tri_mt: jnp.ndarray  # (T, 9)
     sph_geom: jnp.ndarray  # (S, 4)
+    # Scalar-constant Pallas kernel table: same columns as tri_kern rows
+    # (w00..w22, c0..c2, nr2, valid, pad, pad) but triangle-major and padded
+    # only to a multiple of 8 — the kernel loops over triangles as SMEM
+    # scalars, so padding to the 128-lane tile would waste 3.5x work on
+    # small scenes.
+    tri_sc: jnp.ndarray  # (T8, 16)
     # environment
     env_pixels: jnp.ndarray  # (H, W, 3) float32; (1,1,3) dummy when unused
     background: jnp.ndarray  # (3,)
@@ -466,6 +472,8 @@ class Scene:
         tri_kern[9:12] = c.T
         tri_kern[12] = nr2.astype(np.float32)
         tri_kern[13] = valid.astype(np.float32)
+        t8 = _round_up(n_tris, 8)
+        tri_sc = np.ascontiguousarray(tri_kern[:, :t8].T)  # (T8, 16)
 
         # Traversal gather tables (see ScenePack docstring).
         leaf_cap = max(int(flat.leaf_count.max()) if flat.leaf_count.size else 1, 1)
@@ -516,6 +524,7 @@ class Scene:
             prim_emissive=jnp.asarray(prim_emissive),
             emt_fat=jnp.asarray(emt_fat),
             tri_kern=jnp.asarray(tri_kern),
+            tri_sc=jnp.asarray(tri_sc),
             bvh_fat=jnp.asarray(bvh_fat),
             tri_mt=jnp.asarray(tri_mt),
             sph_geom=jnp.asarray(sph_geom),
