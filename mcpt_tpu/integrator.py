@@ -54,7 +54,6 @@ from mcpt_tpu.bsdf import (
     gather_material,
     pdf_c,
     refract_c,
-    repeat_material,
     sample_mfn_c,
 )
 from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, T_MAX
@@ -93,51 +92,57 @@ def direct_lighting_c(pack, key, wo, p, n, uv, m, lam, chan, is_reflect, method)
     """NEE estimator, Scene.cpp:56-82. Returns the *un-weighted* sum (the
     caller applies the kr / (1-kr) fresnel weight of Scene.cpp:114-119).
 
-    Each lane draws `n_dir_sample` light samples; the (B, S) problem is
-    flattened to one (B*S,) shadow-ray batch so the intersect stays a single
-    large kernel. `m` is the caller's MatLane at B — repeated here as cheap
-    (B,)-array repeats instead of a re-gather at B*S.
+    Each lane draws `n_dir_sample` light samples; the (S, B) problem keeps
+    sample-plane-major layout so per-lane data broadcasts instead of
+    repeating, and the shadow rays flatten to one (S*B,) kernel batch.
+    `m` is the caller's MatLane at B — never re-gathered at B*S.
     """
     if pack.n_emitters == 0:
         return jnp.zeros(p[0].shape[0], jnp.float32)
     b = p[0].shape[0]
     s = pack.n_dir_sample
-    rep = lambda x: jnp.repeat(x, s, axis=0)
-    rep3 = lambda c: (rep(c[0]), rep(c[1]), rep(c[2]))
-    chan_r = rep(chan)
 
-    u = jax.random.uniform(key, (b * s, 4), dtype=jnp.float32)
-    ls = sample_light_c(pack, u, chan_r)
+    # (S, B) plane-major layout: sample s of every lane is one contiguous
+    # plane, so every per-lane quantity (surface point, normal, material,
+    # uv, λ, channel) BROADCASTS (B,) -> (S,B) inside fused elementwise ops —
+    # no jnp.repeat materializations at B*S (the repeats were ~23 relayout
+    # copies per bounce in device traces). The only (S*B,) buffers actually
+    # built are the six shadow-ray planes the Pallas kernel needs anyway.
+    u = jax.random.uniform(key, (s * b, 4), dtype=jnp.float32)
+    chan_sb = jnp.broadcast_to(chan, (s, b))
+    ls = sample_light_c(pack, u, chan_sb.reshape(-1))
+    lp = tuple(x.reshape(s, b) for x in ls.p)
+    ln = tuple(x.reshape(s, b) for x in ls.n)
+    emit = ls.emit.reshape(s, b)
+    lpdf = ls.pdf.reshape(s, b)
 
-    p_r, n_r, wo_r = rep3(p), rep3(n), rep3(wo)
-    uv_r = (rep(uv[0]), rep(uv[1]))
-    lam_r, isr_r = rep(lam), rep(is_reflect)
-    m_r = repeat_material(m, s)
-
-    delta = sub3(ls.p, p_r)
+    delta = sub3(lp, p)  # (S,B) via broadcast
     dist = jnp.sqrt(jnp.maximum(dot3(delta, delta), 1e-20))
     inv_dist = 1.0 / dist
     ws = scale3(delta, inv_dist)
 
     if pack.enable_shadow:
-        sh_t = occlude_t_c(pack, p_r, ws, method=method)
+        flat = lambda c: tuple(x.reshape(s * b) for x in c)
+        p_sb = tuple(jnp.broadcast_to(x, (s, b)) for x in p)
+        sh_t = occlude_t_c(pack, flat(p_sb), flat(ws), method=method)
+        sh_t = sh_t.reshape(s, b)
         visible = (sh_t < T_MAX) & (jnp.abs(sh_t - dist) < EPSILON)
     else:
-        visible = jnp.ones(b * s, bool)
+        visible = jnp.ones((s, b), bool)
 
-    ev = eval_bsdf_c(m_r, ws, wo_r, n_r, lam_r, uv_r, chan_r, isr_r)
+    ev = eval_bsdf_c(m, ws, wo, n, lam, uv, chan, is_reflect)
     # Scene.cpp:76-78: emit · eval · (ws·n) · (−ws·n_light) / dist² / pdf / S.
     contrib = (
-        ls.emit
+        emit
         * ev
-        * dot3(ws, n_r)
-        * -dot3(ws, ls.n)
+        * dot3(ws, n)
+        * -dot3(ws, ln)
         * (inv_dist * inv_dist)
-        / ls.pdf
+        / lpdf
         / jnp.float32(s)
     )
     contrib = jnp.where(visible, contrib, 0.0)
-    return jnp.sum(contrib.reshape(b, s), axis=1)
+    return jnp.sum(contrib, axis=0)
 
 
 class PathStats(NamedTuple):

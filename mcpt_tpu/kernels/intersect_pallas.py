@@ -41,9 +41,13 @@ TRI_BLK = 8  # triangles per chunk (sublane axis)
 TRI_MM_BLK = 128  # triangles per chunk in the MXU (matmul) kernel
 # Lanes per pallas_call. The whole (8, MEGA) ray buffer + (8, MEGA) output
 # live in VMEM (no grid/BlockSpec streaming — grid kernels hang this image's
-# remote Mosaic compiler), so MEGA bounds VMEM use: 2 × 8 MB at 1<<18.
-# Bigger batches are lax.map'ed over MEGA-sized slices.
-MEGA = 1 << 18
+# remote Mosaic compiler), so MEGA bounds VMEM use. Bigger batches are
+# lax.map'ed over MEGA-sized slices — each map step is a serialized
+# dispatch + slice copies, so MEGA should comfortably cover one render
+# tile's NEE batch (tile lanes × n_dir_sample). The MM kernel at 1<<20 uses
+# 2 × 32 MB; the SC kernel 6 × 4 + 4 × 4 MB — both fit this chip's VMEM
+# (compiler budget reports 128 MB).
+MEGA = 1 << 20
 
 
 def _kernel(rays_ref, tri_ref, out_ref, *, n_tri_chunks, n_ray_chunks):
