@@ -24,12 +24,18 @@ from mcpt_tpu.intersect import intersect_c, occlude_t_c
 from mcpt_tpu.render import _render_tile
 
 
-def timeit(label, fn, *args, n=3, **kw):
-    out = fn(*args, **kw)
+def timeit(label, fn, n=3):
+    """Times fn(i) with the iteration index i — every call site folds i into
+    its PRNG key (or perturbs an input) so no two timed calls are
+    byte-identical: the target TPU stack memoizes identical executions (see
+    benchmarks/ablate_bounce.py timing rules) and would otherwise report
+    wildly inflated throughput.
+    """
+    out = fn(0)
     jax.block_until_ready(out)
     t0 = time.monotonic()
-    for _ in range(n):
-        out = fn(*args, **kw)
+    for i in range(n):
+        out = fn(i + 1)
     jax.block_until_ready(out)
     dt = (time.monotonic() - t0) / n
     print(f"{label:40s} {dt*1e3:10.1f} ms")
@@ -58,36 +64,35 @@ def main():
     lam = jnp.asarray(WAVELEN_UM)[chan]
     jax.block_until_ready((o3, d3))
 
+    bump = lambda c, i: (c[0] + jnp.float32(i) * 1e-7, c[1], c[2])
+
     isect = jax.jit(lambda o, d: intersect_c(pack, o, d, method=method).t)
-    dt = timeit(f"intersect_c B={b}", isect, o3, d3)
+    dt = timeit(f"intersect_c B={b}", lambda i: isect(bump(o3, i), d3))
     print(f"  -> {b/dt/1e6:.1f} Mrays/s")
 
     s = pack.n_dir_sample
     osb = tuple(jnp.tile(x, s) for x in o3)
     dsb = tuple(jnp.tile(x, s) for x in d3)
     occl = jax.jit(lambda o, d: occlude_t_c(pack, o, d, method=method))
-    dt = timeit(f"occlude_t_c B={b*s}", occl, osb, dsb)
+    dt = timeit(f"occlude_t_c B={b*s}", lambda i: occl(bump(osb, i), dsb))
     print(f"  -> {b*s/dt/1e6:.1f} Mrays/s")
 
     for mb in (1, 2, 4, 8):
         tr = jax.jit(
-            lambda o, d, mb=mb: trace_paths_c(
-                pack, o, d, lam, chan, key, max_bounces=mb, method=method
+            lambda o, d, k, mb=mb: trace_paths_c(
+                pack, o, d, lam, chan, k, max_bounces=mb, method=method
             )[0]
         )
-        dt = timeit(f"trace_paths_c mb={mb} B={b}", tr, o3, d3)
-    rays = None
+        dt = timeit(
+            f"trace_paths_c mb={mb} B={b}",
+            lambda i: tr(o3, d3, jax.random.fold_in(key, i)),
+        )
 
     dt = timeit(
         f"_render_tile spp={spp} mb=8",
-        _render_tile,
-        pack,
-        cam,
-        ids,
-        key,
-        spp,
-        8,
-        method,
+        lambda i: _render_tile(
+            pack, cam, ids, jax.random.fold_in(key, i), spp, 8, method
+        ),
         n=2,
     )
     # rays/s using the integrator's own count
