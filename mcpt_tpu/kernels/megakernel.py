@@ -1,0 +1,1116 @@
+"""Single-kernel ("megakernel") TPU path tracer.
+
+One `pallas_call` renders a block of up to MEGA_LANES (pixel, channel) lanes
+end-to-end: camera-ray generation, the full bounce loop (nearest-hit
+intersection, GGX microfacet shading, next-event-estimation shadow rays,
+Russian roulette), the reference's nested per-level firefly-clamp recursion,
+and the spp loop — all inside one kernel invocation.
+
+Why: device traces of the wavefront JAX integrator (integrator.py) show
+~70% of per-bounce time in XLA elementwise fusions streaming (B,) and (S,B)
+temporaries through HBM (light-sample tables, BSDF partials, one-hot gather
+matrices), not in the intersection kernels. Here every per-lane quantity
+lives in vector registers / VMEM scratch for the whole path; the only HBM
+traffic is the final per-lane radiance + ray-count planes (8 B per lane).
+
+Semantics = `Scene::castRay` / `Scene::directLighting`
+(src/Scene.cpp:56-184) with the same re-expressions as integrator.py
+(bounce cap + reverse clamp fold; see its module docstring), and camera
+sampling per src/Renderer.cpp:44-76. Differences vs the JAX wavefront path:
+
+- RNG is a counter-based murmur3-finalizer hash keyed on
+  (pixel-or-lane, sample, bounce, use-site) — deterministic, reproducible,
+  independent of block/tile sizes, and like the reference the three spectral
+  lanes of a pixel share one primary camera ray (camera draws key on the
+  *pixel*, path draws on the *lane*). Stream identity differs from the
+  threefry draws of integrator.py, so images agree statistically (same
+  estimator, same means), not bitwise.
+- Environment maps are not supported in-kernel (per-lane texture gathers
+  don't vectorize on the VPU); scenes with an env map fall back to the
+  wavefront path (render.py picks automatically).
+
+Scene tables live in SMEM (scalar memory): the scalar core streams
+primitive/material/emitter constants ahead of the VPU while every vector op
+runs on dense (8, 128) ray tiles. Scenes above MEGA_MAX_TRIS triangles fall
+back to the wavefront path.
+
+Hard constraints inherited from kernels/intersect_pallas.py (this image's
+remote Mosaic compiler): no grid/BlockSpecs (fori_loop over ray chunks
+instead), no narrow trailing dims, rays stay on the lane axis end-to-end.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcpt_tpu.constants import (
+    CLAMP_DIRECT,
+    CLAMP_INDIRECT,
+    EPSILON,
+    T_MAX,
+    WAVELEN_UM,
+)
+
+CH_ROWS = 8  # ray rows per chunk: one (8, 128) register tile
+LANE = 128
+CHUNK = CH_ROWS * LANE  # 1024 lanes per inner chunk
+MEGA_LANES = 1 << 20  # lanes per pallas_call (VMEM: 2 out planes = 8 MB)
+MEGA_MAX_TRIS = 1024  # SMEM triangle-table budget ((1024, 25) f32 = 100 KB)
+
+_U = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Counter-based RNG: murmur3 finalizer (constant shifts only — Mosaic lowers
+# these on the VPU; uint32->f32 casts are unsupported so unit floats go
+# through a 24-bit int32 mantissa path).
+# ---------------------------------------------------------------------------
+
+
+def _murmur(x):
+    x = x ^ (x >> _U(16))
+    x = x * _U(0x85EBCA6B)
+    x = x ^ (x >> _U(13))
+    x = x * _U(0xC2B2AE35)
+    x = x ^ (x >> _U(16))
+    return x
+
+
+def _unit(x):
+    """uint32 bits -> float32 in [0, 1)."""
+    bits = (x >> _U(8)).astype(jnp.int32)  # < 2^24: exact & sign-safe
+    return bits.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def _draw(key_tile, ctr):
+    """One uniform per lane: key_tile is the per-lane uint32 id (pixel or
+    lane), ctr a uint32 scalar folding (seed, sample, depth, use-site)."""
+    return _unit(_murmur(key_tile * _U(0x9E3779B1) + ctr))
+
+
+# ---------------------------------------------------------------------------
+# Tile-math helpers (all operate on (8, 128) f32 tiles)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _neg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(c, a, b):
+    return (
+        jnp.where(c, a[0], b[0]),
+        jnp.where(c, a[1], b[1]),
+        jnp.where(c, a[2], b[2]),
+    )
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _normalize(a):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot(a, a), 1e-20))
+    return _scale(a, inv)
+
+
+def _ssqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+
+def _reflect(wo, n):
+    # Material.hpp:195-197: 2(wo.n)n - wo
+    s = 2.0 * _dot(wo, n)
+    return _sub(_scale(n, s), wo)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion):
+    """Brute-force nearest hit of one ray tile against every primitive.
+
+    Returns t only (occlusion=True) or the fused surface record
+    (t, n, uv, mat, emissive, is_sphere-center) — the shading row is
+    accumulated *inside* the winner select, so no gather ever happens.
+    Arithmetic identical to kernels/intersect_pallas.py `_tri_candidate` /
+    `_sph_candidate` (reference Triangle.hpp:222-252, global.hpp:20-35).
+    """
+    o0, o1, o2 = o
+    d0, d1, d2 = d
+    shape = o0.shape
+    t0 = jnp.full(shape, T_MAX, jnp.float32)
+
+    a = d0 * d0 + d1 * d1 + d2 * d2
+    a_ok = a > 1e-12
+    a_safe = jnp.maximum(a, 1e-12)
+
+    def tri_t(i):
+        w20 = tri_ref[i, 6]
+        w21 = tri_ref[i, 7]
+        w22 = tri_ref[i, 8]
+        c2 = tri_ref[i, 11]
+        nr2 = tri_ref[i, 12]
+        dp2 = d0 * w20 + d1 * w21 + d2 * w22
+        op2 = o0 * w20 + o1 * w21 + o2 * w22 - c2
+        det = -(dp2 * nr2)
+        okd = jnp.abs(det) >= EPSILON
+        det_g = jnp.where(okd, det, 1.0)
+        t_hit = op2 * nr2 / det_g
+        w00 = tri_ref[i, 0]
+        w01 = tri_ref[i, 1]
+        w02 = tri_ref[i, 2]
+        c0 = tri_ref[i, 9]
+        dp0 = d0 * w00 + d1 * w01 + d2 * w02
+        op0 = o0 * w00 + o1 * w01 + o2 * w02 - c0
+        u = op0 + t_hit * dp0
+        w10 = tri_ref[i, 3]
+        w11 = tri_ref[i, 4]
+        w12 = tri_ref[i, 5]
+        c1 = tri_ref[i, 10]
+        dp1 = d0 * w10 + d1 * w11 + d2 * w12
+        op1 = o0 * w10 + o1 * w11 + o2 * w12 - c1
+        v = op1 + t_hit * dp1
+        ok = (
+            okd
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t_hit >= 0.0)
+            & (tri_ref[i, 13] > 0.5)
+        )
+        return jnp.where(ok, t_hit, T_MAX), u, v
+
+    def sph_t(s):
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 3]
+        l0 = o0 - cx
+        l1 = o1 - cy
+        l2 = o2 - cz
+        bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
+        cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+        disc = bq * bq - 4.0 * a_safe * cq
+        ok = (disc >= 0.0) & a_ok & (r > 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
+        qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+        x0 = q / a_safe
+        x1 = cq / qs
+        lo = jnp.minimum(x0, x1)
+        hi = jnp.maximum(x0, x1)
+        t = jnp.where(lo < 0.0, hi, lo)
+        ok &= t >= 0.0
+        return jnp.where(ok, t, T_MAX)
+
+    if occlusion:
+        def tri_body(i, t_best):
+            t_cand, _, _ = tri_t(i)
+            return jnp.minimum(t_cand, t_best)
+
+        def sph_body(s, t_best):
+            return jnp.minimum(sph_t(s), t_best)
+
+        t_best = lax.fori_loop(0, n_tris, tri_body, t0)
+        t_best = lax.fori_loop(0, n_sph, sph_body, t_best)
+        return t_best
+
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def tri_body(i, acc):
+        (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+        t_cand, u, v = tri_t(i)
+        better = t_cand < t_best
+        w0 = 1.0 - u - v
+        # barycentric texcoord interp (Triangle.hpp:245-249) folded into the
+        # winner select: cols 17..22 are t0,t1,t2 (x,y interleaved).
+        uvx_c = w0 * tri_ref[i, 17] + u * tri_ref[i, 19] + v * tri_ref[i, 21]
+        uvy_c = w0 * tri_ref[i, 18] + u * tri_ref[i, 20] + v * tri_ref[i, 22]
+        return (
+            jnp.where(better, t_cand, t_best),
+            jnp.where(better, tri_ref[i, 14], n0),
+            jnp.where(better, tri_ref[i, 15], n1),
+            jnp.where(better, tri_ref[i, 16], n2),
+            jnp.where(better, uvx_c, uvx),
+            jnp.where(better, uvy_c, uvy),
+            jnp.where(better, tri_ref[i, 23], mat),
+            jnp.where(better, tri_ref[i, 24], em),
+            jnp.where(better, 0.0, is_sph),
+            jnp.where(better, 0.0, sc0),
+            jnp.where(better, 0.0, sc1),
+            jnp.where(better, 0.0, sc2),
+        )
+
+    def sph_body(s, acc):
+        (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+        t_cand = sph_t(s)
+        better = t_cand < t_best
+        return (
+            jnp.where(better, t_cand, t_best),
+            jnp.where(better, 0.0, n0),
+            jnp.where(better, 0.0, n1),
+            jnp.where(better, 0.0, n2),
+            jnp.where(better, 0.0, uvx),
+            jnp.where(better, 0.0, uvy),
+            jnp.where(better, sph_ref[s, 4], mat),
+            jnp.where(better, sph_ref[s, 5], em),
+            jnp.where(better, 1.0, is_sph),
+            jnp.where(better, sph_ref[s, 0], sc0),
+            jnp.where(better, sph_ref[s, 1], sc1),
+            jnp.where(better, sph_ref[s, 2], sc2),
+        )
+
+    init = (t0,) + (zero,) * 11
+    acc = lax.fori_loop(0, n_tris, tri_body, init)
+    acc = lax.fori_loop(0, n_sph, sph_body, acc)
+    (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+
+    happened = t_best < T_MAX
+    t_eff = jnp.where(happened, t_best, 0.0)
+    p = (o0 + d0 * t_eff, o1 + d1 * t_eff, o2 + d2 * t_eff)
+    nsph = _normalize((p[0] - sc0, p[1] - sc1, p[2] - sc2))
+    use_sph = is_sph > 0.5
+    n = (
+        jnp.where(use_sph, nsph[0], n0),
+        jnp.where(use_sph, nsph[1], n1),
+        jnp.where(use_sph, nsph[2], n2),
+    )
+    return t_best, happened, p, n, (uvx, uvy), mat, em > 0.5
+
+
+def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds):
+    """Nearest-hit distances of S rays sharing one origin (the NEE shadow
+    fan: all n_dir_sample shadow rays leave the same ε-offset surface point,
+    Scene.cpp:56-82). One primitive loop computes the origin-dependent
+    terms (o', L, |L|²-r²) ONCE and reuses them for every ray — ~25% fewer
+    VPU ops than S independent occlusion loops."""
+    o0, o1, o2 = o
+    shape = o0.shape
+    s_cnt = len(ds)
+    t0 = [jnp.full(shape, T_MAX, jnp.float32) for _ in range(s_cnt)]
+    a_list = [d[0] * d[0] + d[1] * d[1] + d[2] * d[2] for d in ds]
+    a_ok = [a > 1e-12 for a in a_list]
+    a_safe = [jnp.maximum(a, 1e-12) for a in a_list]
+
+    def tri_body(i, t_best):
+        w20 = tri_ref[i, 6]
+        w21 = tri_ref[i, 7]
+        w22 = tri_ref[i, 8]
+        w00 = tri_ref[i, 0]
+        w01 = tri_ref[i, 1]
+        w02 = tri_ref[i, 2]
+        w10 = tri_ref[i, 3]
+        w11 = tri_ref[i, 4]
+        w12 = tri_ref[i, 5]
+        nr2 = tri_ref[i, 12]
+        valid = tri_ref[i, 13] > 0.5
+        op2 = o0 * w20 + o1 * w21 + o2 * w22 - tri_ref[i, 11]
+        op0 = o0 * w00 + o1 * w01 + o2 * w02 - tri_ref[i, 9]
+        op1 = o0 * w10 + o1 * w11 + o2 * w12 - tri_ref[i, 10]
+        out = []
+        for si in range(s_cnt):
+            d0, d1, d2 = ds[si]
+            dp2 = d0 * w20 + d1 * w21 + d2 * w22
+            det = -(dp2 * nr2)
+            okd = jnp.abs(det) >= EPSILON
+            det_g = jnp.where(okd, det, 1.0)
+            t_hit = op2 * nr2 / det_g
+            dp0 = d0 * w00 + d1 * w01 + d2 * w02
+            u = op0 + t_hit * dp0
+            dp1 = d0 * w10 + d1 * w11 + d2 * w12
+            v = op1 + t_hit * dp1
+            ok = (
+                okd
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t_hit >= 0.0)
+                & valid
+            )
+            out.append(
+                jnp.minimum(jnp.where(ok, t_hit, T_MAX), t_best[si])
+            )
+        return tuple(out)
+
+    def sph_body(s, t_best):
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 3]
+        l0 = o0 - cx
+        l1 = o1 - cy
+        l2 = o2 - cz
+        cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+        r_ok = r > 0.0
+        out = []
+        for si in range(s_cnt):
+            d0, d1, d2 = ds[si]
+            bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
+            disc = bq * bq - 4.0 * a_safe[si] * cq
+            ok = (disc >= 0.0) & a_ok[si] & r_ok
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
+            qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+            x0 = q / a_safe[si]
+            x1 = cq / qs
+            lo = jnp.minimum(x0, x1)
+            hi = jnp.maximum(x0, x1)
+            t = jnp.where(lo < 0.0, hi, lo)
+            ok &= t >= 0.0
+            out.append(jnp.minimum(jnp.where(ok, t, T_MAX), t_best[si]))
+        return tuple(out)
+
+    t_best = lax.fori_loop(0, n_tris, tri_body, tuple(t0))
+    t_best = lax.fori_loop(0, n_sph, sph_body, t_best)
+    return list(t_best)
+
+
+def _gather_mat(mat_ref, n_mats, mat_id, chan):
+    """Per-lane material params by a select loop over the (small) material
+    table (mat_fat layout, scene.py): returns a dict of (8,128) tiles with
+    refl/emission already channel-picked."""
+    zero = jnp.zeros_like(mat_id)
+    acc = {
+        "mtype": zero,
+        "ior_a": zero,
+        "ior_b": zero,
+        "rough": zero,
+        "refl": zero,
+        "emit": zero,
+        "textured": zero,
+        "dirac": zero,
+    }
+    is_r = chan == 0
+    is_g = chan == 1
+
+    def body(m, acc):
+        sel = mat_id == m.astype(jnp.float32)
+        refl = jnp.where(
+            is_r, mat_ref[m, 4], jnp.where(is_g, mat_ref[m, 5], mat_ref[m, 6])
+        )
+        emit = jnp.where(
+            is_r, mat_ref[m, 7], jnp.where(is_g, mat_ref[m, 8], mat_ref[m, 9])
+        )
+        return {
+            "mtype": jnp.where(sel, mat_ref[m, 0], acc["mtype"]),
+            "ior_a": jnp.where(sel, mat_ref[m, 1], acc["ior_a"]),
+            "ior_b": jnp.where(sel, mat_ref[m, 2], acc["ior_b"]),
+            "rough": jnp.where(sel, mat_ref[m, 3], acc["rough"]),
+            "refl": jnp.where(sel, refl, acc["refl"]),
+            "emit": jnp.where(sel, emit, acc["emit"]),
+            "textured": jnp.where(sel, mat_ref[m, 10], acc["textured"]),
+            "dirac": jnp.where(sel, mat_ref[m, 11], acc["dirac"]),
+        }
+
+    return lax.fori_loop(0, n_mats, body, acc)
+
+
+# Material-type masks (materials.MaterialType order: SMOOTH_CONDUCTOR=0,
+# ROUGH_CONDUCTOR=1, SMOOTH_DIELECTRIC=2, ROUGH_DIELECTRIC=3).
+def _is_conductor(mtype):
+    return mtype < 1.5
+
+
+def _is_rough(mtype):
+    return (jnp.abs(mtype - 1.0) < 0.25) | (jnp.abs(mtype - 3.0) < 0.25)
+
+
+def _chessboard(u, v):
+    """Material.hpp:134-151 with C semantics (trunc toward zero, signed rem)."""
+    col = jnp.trunc((u - 0.05) * 10.0)
+    row = jnp.trunc(v * 12.0)
+    in_board = (col >= 3.0) & (col <= 5.0) & (row <= 7.0)
+    s = col + row
+    is_white = (s - jnp.trunc(s * 0.5) * 2.0) == 1.0
+    return jnp.where(in_board & is_white, 0.9, 0.1)
+
+
+def _reflectance(m, uv):
+    return jnp.where(m["textured"] > 0.5, _chessboard(uv[0], uv[1]), m["refl"])
+
+
+def _fresnel_schlick(cos_theta, f0):
+    inv = 1.0 - cos_theta
+    c2 = inv * inv
+    return f0 + (1.0 - f0) * c2 * c2 * inv
+
+
+def _fresnel(m, ior, incident, nrm):
+    """Material.hpp:198-226; conductors return 1."""
+    cosi = jnp.clip(_dot(incident, nrm), -1.0, 1.0)
+    outside = cosi <= 0.0
+    etai = jnp.where(outside, 1.0, ior)
+    etat = jnp.where(outside, ior, 1.0)
+    sint = etai / etat * _ssqrt(1.0 - cosi * cosi)
+    tir = sint >= 1.0
+    sint_s = jnp.where(tir, 0.0, sint)
+    cost = _ssqrt(1.0 - sint_s * sint_s)
+    aci = jnp.abs(cosi)
+    rs_den = jnp.maximum(etat * aci + etai * cost, 1e-6)
+    rp_den = jnp.maximum(etai * aci + etat * cost, 1e-6)
+    rs = (etat * aci - etai * cost) / rs_den
+    rp = (etai * aci - etat * cost) / rp_den
+    kr = 0.5 * (rs * rs + rp * rp)
+    kr = jnp.where(tir, 1.0, kr)
+    return jnp.where(_is_conductor(m["mtype"]), 1.0, kr)
+
+
+def _refract(ior, incident, nrm):
+    """Material.hpp:227-242; zero vector on TIR."""
+    cosi = jnp.clip(_dot(incident, nrm), -1.0, 1.0)
+    entering = cosi < 0.0
+    etai = jnp.where(entering, 1.0, ior)
+    etat = jnp.where(entering, ior, 1.0)
+    n = _where3(entering, nrm, _neg(nrm))
+    ci = jnp.abs(cosi)
+    eta = etai / etat
+    k = 1.0 - eta * eta * (1.0 - ci * ci)
+    ok = k >= 0.0
+    coef = eta * ci - _ssqrt(jnp.where(ok, k, 1.0))
+    out = _add(_scale(incident, eta), _scale(n, coef))
+    zero = jnp.zeros_like(out[0])
+    return _where3(ok, out, (zero, zero, zero))
+
+
+def _d_ggx(h, n, alpha):
+    noh = jnp.abs(_dot(n, h))
+    good = noh > EPSILON
+    noh_s = jnp.where(good, noh, 1.0)
+    tan2 = (1.0 - noh_s * noh_s) / (noh_s * noh_s)
+    denom = (noh_s * noh_s) * (alpha + tan2)
+    denom = jnp.where(jnp.abs(denom) > 0.0, denom, 1.0)
+    d = alpha * alpha / (jnp.pi * denom * denom)
+    return jnp.where(good, d, 0.0)
+
+
+def _g1(v, n, alpha):
+    nov = jnp.abs(_dot(n, v))
+    good = nov > EPSILON
+    nov_s = jnp.where(good, nov, 1.0)
+    tan_t = _ssqrt(1.0 - nov_s * nov_s) / nov_s
+    at = alpha * tan_t
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + at * at))
+    g = jnp.where(tan_t == 0.0, 1.0, g)
+    return jnp.where(good, g, 0.0)
+
+
+def _tangent_frame(n):
+    nx, ny, nz = n
+    ax = jnp.abs(nx) > jnp.abs(ny)
+    lx = jnp.sqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
+    ly = jnp.sqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
+    zero = jnp.zeros_like(nx)
+    tx = _where3(ax, (-nz / lx, zero, nx / lx), (zero, nz / ly, -ny / ly))
+    return tx, _cross(n, tx)
+
+
+def _sample_mfn(m, n, xi1, xi2):
+    """GGX NDF half-vector sample for rough lanes, n for smooth
+    (Material.hpp:111-123, 268-281)."""
+    alpha = m["rough"]
+    phi = 2.0 * jnp.pi * xi1
+    a2 = alpha * alpha
+    cos_t = _ssqrt(
+        jnp.maximum(1.0 - xi2, 0.0) / jnp.maximum(1.0 + (a2 - 1.0) * xi2, 1e-20)
+    )
+    sin_t = _ssqrt(1.0 - cos_t * cos_t)
+    hx = sin_t * jnp.cos(phi)
+    hy = sin_t * jnp.sin(phi)
+    t, b = _tangent_frame(n)
+    h = _normalize(
+        _add(_add(_scale(t, hx), _scale(b, hy)), _scale(n, cos_t))
+    )
+    return _where3(_is_rough(m["mtype"]), h, n)
+
+
+def _half_reflect(wi, wo, n):
+    h = _normalize(_add(wi, wo))
+    return _where3(_dot(wi, n) > 0.0, h, _neg(h))
+
+
+def _eval_bsdf(m, ior, refl, wi, wo, n, is_reflect):
+    """Material::eval (Material.hpp:330-408) — see bsdf.eval_bsdf_c.
+
+    `refl` is the (chessboard-resolved) reflectance, hoisted by the caller
+    (it is wi-independent, and NEE calls eval once per light sample).
+    Unlike the reference / bsdf.py, the half vector is SELECTED by the
+    reflect/refract branch *before* the expensive D/G1/Fresnel terms — the
+    unselected branch's value is never read, so one D, two G1 and two
+    Fresnel evaluations replace the reference's 2/4/4 with identical output.
+    """
+    win = _dot(wi, n)
+    won = _dot(wo, n)
+    same_side = win * won > 0.0
+    eta = jnp.where(win > 0.0, ior, 1.0 / ior)
+    alpha = m["rough"]
+    nwi = _neg(wi)
+    conductor = _is_conductor(m["mtype"])
+
+    h_r = _half_reflect(wi, wo, n)
+    hv = _sub(nwi, _scale(wo, eta))
+    h_t0 = _normalize(hv)
+    h_t = _where3(_dot(h_t0, n) > 0.0, h_t0, _neg(h_t0))
+    h = _where3(is_reflect, h_r, h_t)
+
+    d_h = _d_ggx(h, n, alpha)
+    g_h = _g1(wi, h, alpha) * _g1(wo, h, alpha)
+    f_h = _fresnel(m, ior, nwi, h)  # conductors → 1
+
+    # rough reflect (valid only on is_reflect lanes, where h == h_r)
+    f_r = jnp.where(conductor, _fresnel_schlick(jnp.abs(_dot(h, wo)), refl), f_h)
+    denom_r = 4.0 * jnp.abs(win) * jnp.abs(won) + EPSILON
+    rough_reflect = jnp.where(same_side, f_r * d_h * g_h / denom_r, 0.0)
+
+    # rough refract (valid only on ~is_reflect lanes, where h == h_t);
+    # Walter eq. 21 with the reference's sign placement.
+    hol = _dot(h, wi)
+    hov = _dot(h, wo)
+    den = hol + eta * hov
+    den = den * den * jnp.abs(win * won)
+    den = jnp.maximum(den, 1e-10)
+    rough_refract = (1.0 - f_h) * d_h * g_h * eta * eta * jnp.abs(hol * hov) / den
+    rough_refract = jnp.where(
+        conductor | same_side | (win * won == 0.0), 0.0, rough_refract
+    )
+
+    # smooth (Dirac) branches share one Fresnel at the macro normal
+    aligned = _dot(h, n) >= 1.0 - EPSILON
+    f_sm = _fresnel(m, ior, nwi, n)
+    smooth_reflect = jnp.where(
+        same_side & aligned,
+        jnp.where(conductor, _fresnel_schlick(jnp.abs(won), refl), f_sm),
+        0.0,
+    )
+    smooth_refract = jnp.where(
+        (~conductor) & (~same_side) & (win * won != 0.0) & aligned,
+        1.0 - f_sm,
+        0.0,
+    )
+
+    rough = jnp.where(is_reflect, rough_reflect, rough_refract)
+    smooth = jnp.where(is_reflect, smooth_reflect, smooth_refract)
+    return jnp.where(_is_rough(m["mtype"]), rough, smooth)
+
+
+def _pdf(m, ior, wi, wo, n, is_reflect):
+    """Material::pdf (Material.hpp:285-328)."""
+    eta = jnp.where(_dot(wi, n) > 0.0, ior, 1.0 / ior)
+    h_r = _half_reflect(wi, wo, n)
+    jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(_dot(h_r, wo)), 1e-8)
+    hv = _sub(_neg(wi), _scale(wo, eta))
+    h_t = _normalize(hv)
+    d1 = jnp.maximum(_dot(hv, hv), 1e-12)
+    jac_t = eta * eta * jnp.abs(_dot(h_t, wo)) / d1
+    h = _where3(is_reflect, h_r, h_t)
+    jac = jnp.where(is_reflect, jac_r, jac_t)
+    d = _d_ggx(h, n, m["rough"])
+    p_rough = d * _dot(n, h) * jac
+
+    h_sm_t = _where3(_dot(h_t, n) > 0.0, h_t, _neg(h_t))
+    h_sm = _where3(is_reflect, _normalize(_add(wi, wo)), h_sm_t)
+    p_smooth = jnp.where(jnp.abs(_dot(h_sm, n)) > 1.0 - EPSILON, 1.0, 0.0)
+    return jnp.where(_is_rough(m["mtype"]), p_rough, p_smooth)
+
+
+def _mega_kernel(
+    scal_ref,  # (1, 8) SMEM int32: [seed, lane_offset, spp, ...]
+    tri_ref,  # (T8, 25) SMEM f32 (layout in mega_tables)
+    sph_ref,  # (S, 6) SMEM f32: c, r, mat, emissive
+    mat_ref,  # (M, 13) SMEM f32 (mat_fat)
+    emt_ref,  # (E, 16) SMEM f32 (emt_fat)
+    emeta_ref,  # (E, 3) SMEM f32: mesh ordinal, intra_cum, mesh_area
+    lcum_ref,  # (L, 1) SMEM f32 cumulative mesh areas
+    par_ref,  # (1, 8) SMEM f32: [bg_r, bg_g, bg_b, rr, inv_rr, total_area]
+    out_ref,  # (2, R, 128) VMEM f32: [mean radiance, ray count]
+    rec_ref,  # scratch (max_bounces, 4, 8, 128) VMEM records
+    *,
+    n_chunks,
+    n_tris,
+    n_sph,
+    n_mats,
+    n_emitters,
+    n_lmesh,
+    max_bounces,
+    n_dir_sample,
+    enable_shadow,
+    cam,  # dict of static camera floats
+):
+    seed = scal_ref[0, 0].astype(jnp.uint32)
+    lane_off = scal_ref[0, 1]
+    spp = scal_ref[0, 2]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
+
+    bg = (par_ref[0, 0], par_ref[0, 1], par_ref[0, 2])
+    rr_rate = par_ref[0, 3]
+    inv_rr = par_ref[0, 4]
+    total_area = par_ref[0, 5]
+
+    def chunk_body(rc, _):
+        r0 = rc * CH_ROWS
+        lane = lane_off + (r0 + row_iota) * LANE + col_iota
+        pix = lane // 3
+        chan = lane - pix * 3
+        pix_u = pix.astype(jnp.uint32)
+        lane_u = lane.astype(jnp.uint32)
+        lam = jnp.where(
+            chan == 0,
+            jnp.float32(WAVELEN_UM[0]),
+            jnp.where(
+                chan == 1, jnp.float32(WAVELEN_UM[1]), jnp.float32(WAVELEN_UM[2])
+            ),
+        )
+        fi = (pix % cam["width"]).astype(jnp.float32)
+        fj = (pix // cam["width"]).astype(jnp.float32)
+
+        def rot(v):
+            om = cam["om"]
+            return (
+                om[0][0] * v[0] + om[0][1] * v[1] + om[0][2] * v[2],
+                om[1][0] * v[0] + om[1][1] * v[1] + om[1][2] * v[2],
+                om[2][0] * v[0] + om[2][1] * v[1] + om[2][2] * v[2],
+            )
+
+        def spp_body(s, acc):
+            rad_acc, ray_acc = acc
+            su = jnp.uint32(0x9E3779B9) * (s.astype(jnp.uint32) + _U(1)) + seed
+
+            # ---- camera ray (Renderer.cpp:44-76); draws key on the PIXEL so
+            # the three channel lanes share one primary ray.
+            u0 = _draw(pix_u, _murmur(su + _U(101)))
+            u1 = _draw(pix_u, _murmur(su + _U(102)))
+            x = (1.0 - 2.0 * (fi + u0) / cam["width"]) * cam["xscale"]
+            y = (1.0 - 2.0 * (fj + u1) / cam["height"]) * cam["yscale"]
+            one = jnp.ones_like(x)
+            if cam["use_dof"]:
+                u2 = _draw(pix_u, _murmur(su + _U(103)))
+                u3 = _draw(pix_u, _murmur(su + _U(104)))
+                r = cam["aperture"] * jnp.sqrt(u2)
+                theta = 2.0 * jnp.pi * u3
+                dx = r * jnp.cos(theta)
+                dy = r * jnp.sin(theta)
+                lens_w = rot((dx, dy, jnp.zeros_like(dx)))
+                o = (
+                    cam["pos"][0] + lens_w[0],
+                    cam["pos"][1] + lens_w[1],
+                    cam["pos"][2] + lens_w[2],
+                )
+                fd = cam["focal"]
+                dirs = (x * fd - dx, y * fd - dy, one * fd)
+            else:
+                o = (
+                    jnp.broadcast_to(jnp.float32(cam["pos"][0]), x.shape),
+                    jnp.broadcast_to(jnp.float32(cam["pos"][1]), x.shape),
+                    jnp.broadcast_to(jnp.float32(cam["pos"][2]), x.shape),
+                )
+                dirs = (x, y, one)
+            d = rot(_normalize(dirs))
+
+            hit0 = _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, False)
+            # Carried masks are f32 (0/1): Mosaic fails to legalize loop
+            # yields of i1 vectors.
+            hit0 = hit0[:1] + (hit0[1].astype(jnp.float32),) + hit0[2:6] + (
+                hit0[6].astype(jnp.float32),
+            )
+            alive0 = jnp.ones_like(x)
+
+            def depth_body(depth, state):
+                o, d, hit, alive_f, rays = state
+                alive = alive_f > 0.5
+                du = _murmur(su + depth.astype(jnp.uint32) * _U(0x85EBCA77))
+                t, happened_f, p, n, uv, mat_id, emissive_f = hit
+                happened = happened_f > 0.5
+                emissive = emissive_f > 0.5
+                wo = _neg(d)
+
+                m = _gather_mat(mat_ref, n_mats, mat_id, chan)
+                ior = m["ior_a"] + m["ior_b"] / (lam * lam)
+                b_leaf = jnp.clip(m["emit"] * jnp.abs(_dot(wo, n)), 0.0, 1.0)
+                is_b = (depth == 0) & happened & emissive
+                at_vertex = alive & happened & ~is_b
+
+                # microfacet normal + fresnel split (Scene.cpp:109-110)
+                xi0 = _draw(lane_u, du + _U(1))
+                xi1 = _draw(lane_u, du + _U(2))
+                xi2 = _draw(lane_u, du + _U(3))
+                xi3 = _draw(lane_u, du + _U(4))
+                mfn = _sample_mfn(m, n, xi0, xi1)
+                kr = _fresnel(m, ior, d, mfn)
+
+                # ---- NEE (Scene.cpp:56-82,113-119): sample all S lights
+                # first, occlude the whole shadow fan in ONE shared-origin
+                # primitive loop, then shade.
+                p_dl = _add(p, _scale(n, jnp.float32(EPSILON)))
+                inner = _dot(wo, n) < 0.0
+                refl = _reflectance(m, uv)
+                l_dir_raw = jnp.zeros_like(x)
+                if n_emitters > 0:
+                    samples = []
+                    for si in range(n_dir_sample):
+                        nu = du + _U(16 + 4 * si)
+                        v0_ = _draw(lane_u, nu)
+                        v1_ = _draw(lane_u, nu + _U(1))
+                        v2_ = _draw(lane_u, nu + _U(2))
+                        v3_ = _draw(lane_u, nu + _U(3))
+                        # stage 1: mesh by cumulative area (Scene.cpp:28-36)
+                        target = v0_ * total_area
+                        mesh = jnp.zeros_like(x)
+                        for li in range(n_lmesh):
+                            mesh += jnp.where(lcum_ref[li, 0] < target, 1.0, 0.0)
+                        # stage 2: emitter triangle within mesh
+                        # (BVH.cpp:120-135 area descent, sqrt warp)
+                        mesh_area = jnp.zeros_like(x)
+                        for ei in range(n_emitters):
+                            same = emeta_ref[ei, 0] == mesh
+                            mesh_area = jnp.where(
+                                same, emeta_ref[ei, 2], mesh_area
+                            )
+                        p_tgt = jnp.sqrt(v1_) * mesh_area
+                        found = jnp.zeros_like(x, dtype=bool)
+                        row = [jnp.zeros_like(x) for _ in range(16)]
+                        # First same-mesh row whose inclusive cumulative area
+                        # bound fires wins; if none fires, the LAST same-mesh
+                        # row is the fallback (BVH.cpp:131-135): keep
+                        # overwriting with every same-mesh row until found.
+                        for ei in range(n_emitters):
+                            same = emeta_ref[ei, 0] == mesh
+                            take = same & ~found
+                            for c_ in range(16):
+                                row[c_] = jnp.where(take, emt_ref[ei, c_], row[c_])
+                            found = found | (same & (p_tgt < emeta_ref[ei, 1]))
+                        xs = jnp.sqrt(v2_)
+                        ys = v3_
+                        wx = xs * (1.0 - ys)
+                        wy = xs * ys
+                        lp = (
+                            row[0] + row[3] * wx + row[6] * wy,
+                            row[1] + row[4] * wx + row[7] * wy,
+                            row[2] + row[5] * wx + row[8] * wy,
+                        )
+                        ln = (row[9], row[10], row[11])
+                        emit_l = jnp.where(
+                            chan == 0,
+                            row[12],
+                            jnp.where(chan == 1, row[13], row[14]),
+                        )
+                        delta = _sub(lp, p_dl)
+                        # dist stays sqrt-then-divide (NOT rsqrt): the
+                        # |t − dist| < EPS visibility test is ULP-marginal at
+                        # scene scale and must match the wavefront path.
+                        dist = jnp.sqrt(jnp.maximum(_dot(delta, delta), 1e-20))
+                        inv_dist = 1.0 / dist
+                        ws = _scale(delta, inv_dist)
+                        samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
+
+                    if enable_shadow:
+                        t_sh = _occlude_shared_origin(
+                            tri_ref,
+                            sph_ref,
+                            n_tris,
+                            n_sph,
+                            p_dl,
+                            [s_[0] for s_ in samples],
+                        )
+                    for si in range(n_dir_sample):
+                        ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
+                        if enable_shadow:
+                            visible = (t_sh[si] < T_MAX) & (
+                                jnp.abs(t_sh[si] - dist) < EPSILON
+                            )
+                        else:
+                            visible = jnp.ones_like(x, dtype=bool)
+                        ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
+                        # Scene.cpp:76-78: ... / dist² / pdf / S with the area
+                        # pdf = 1/mesh_area (lights.py), i.e. ×mesh_area.
+                        contrib = (
+                            emit_l
+                            * ev
+                            * _dot(ws, n)
+                            * -_dot(ws, ln)
+                            * (inv_dist * inv_dist)
+                            * mesh_area
+                            * jnp.float32(1.0 / n_dir_sample)
+                        )
+                        l_dir_raw += jnp.where(visible, contrib, 0.0)
+                l_dir = jnp.where(inner, 1.0 - kr, kr) * l_dir_raw
+
+                # ---- RR + stochastic reflect/refract (Scene.cpp:121-159)
+                rr_kill = xi2 >= rr_rate
+                branch_reflect = xi3 < kr
+                womfn = _dot(wo, mfn)
+                sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
+                sign = jnp.where(branch_reflect, sign_reflect, -sign_reflect)
+                p_new = _add(p, _scale(n, EPSILON * sign))
+                wi = _where3(
+                    branch_reflect, _reflect(wo, mfn), _refract(ior, d, mfn)
+                )
+                nxt = _intersect_tile(
+                    tri_ref, sph_ref, n_tris, n_sph, p_new, wi, False
+                )
+                nxt_happened = nxt[1]
+                nxt_emissive = nxt[6]
+
+                ev = _eval_bsdf(m, ior, refl, wi, wo, n, branch_reflect)
+                pv = _pdf(m, ior, wi, wo, n, branch_reflect)
+                pv_ok = jnp.abs(pv) > 1e-10
+                w_rough = jnp.where(
+                    pv_ok,
+                    ev
+                    * jnp.abs(_dot(wo, n))
+                    / jnp.where(pv_ok, pv, 1.0)
+                    * inv_rr,
+                    0.0,
+                )
+                w = jnp.where(m["dirac"] > 0.5, ev * inv_rr, w_rough)
+
+                cont = at_vertex & ~rr_kill & nxt_happened & ~nxt_emissive
+                nxt = nxt[:1] + (nxt[1].astype(jnp.float32),) + nxt[2:6] + (
+                    nxt[6].astype(jnp.float32),
+                )
+                # miss/emitter bounce leaf: env is the constant background.
+                bg_l = jnp.where(chan == 0, bg[0], jnp.where(chan == 1, bg[1], bg[2]))
+                env_ind = bg_l * ev * inv_rr
+
+                leaf = jnp.where(
+                    ~alive,
+                    0.0,
+                    jnp.where(
+                        ~happened,
+                        bg_l,
+                        jnp.where(
+                            is_b,
+                            b_leaf,
+                            jnp.where(
+                                rr_kill,
+                                l_dir,
+                                jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+                                + jnp.clip(env_ind, 0.0, CLAMP_INDIRECT),
+                            ),
+                        ),
+                    ),
+                )
+                terminal = ~cont
+                rec_ref[depth, 0] = jnp.where(alive, l_dir, 0.0)
+                rec_ref[depth, 1] = w
+                rec_ref[depth, 2] = leaf
+                rec_ref[depth, 3] = terminal.astype(jnp.float32)
+                rays = rays + jnp.where(
+                    at_vertex, jnp.float32(1 + n_dir_sample), 0.0
+                )
+                return (p_new, wi, nxt, cont.astype(jnp.float32), rays)
+
+            rays0 = jnp.ones_like(x)  # the primary ray per lane
+            state = (o, d, hit0, alive0, rays0)
+            state = lax.fori_loop(0, max_bounces, depth_body, state)
+            rays_f = state[4]
+
+            # ---- reverse clamp fold (Scene.cpp:180-183 nesting)
+            def fold_body(k, l_next):
+                dd = max_bounces - 1 - k
+                l_dir = rec_ref[dd, 0]
+                w = rec_ref[dd, 1]
+                leaf = rec_ref[dd, 2]
+                term = rec_ref[dd, 3] > 0.5
+                return jnp.where(
+                    term,
+                    leaf,
+                    jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+                    + jnp.clip(w * l_next, 0.0, CLAMP_INDIRECT),
+                )
+
+            radiance = lax.fori_loop(
+                0, max_bounces, fold_body, jnp.zeros_like(x)
+            )
+            return (rad_acc + radiance, ray_acc + rays_f)
+
+        zero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
+        rad, rays = lax.fori_loop(0, spp, spp_body, (zero, zero))
+        out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
+        out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def mega_supported(pack) -> bool:
+    return (not pack.use_env) and pack.tri_sc.shape[0] <= MEGA_MAX_TRIS
+
+
+def mega_tables(pack):
+    """SMEM tables for the kernel, built from the ScenePack by cheap concats
+    (tiny: tens of rows). Layouts:
+      tri: cols 0-13 = tri_sc (w 9, c 3, nr2, valid), 14-16 normal,
+           17-22 uv t0,t1,t2, 23 mat, 24 emissive
+      sph: c(3), r, mat, emissive
+    """
+    t8 = pack.tri_sc.shape[0]
+    tri = jnp.concatenate(
+        [pack.tri_sc[:, :14], pack.tri_shade[:t8, :]], axis=1
+    )
+    sph = jnp.concatenate([pack.sph_geom, pack.sph_shade[:, 3:5]], axis=1)
+    emeta = jnp.stack(
+        [
+            pack.emt_mesh.astype(jnp.float32),
+            pack.emt_intra_cum,
+            pack.emt_mesh_area,
+        ],
+        axis=1,
+    )
+    # lmesh_cum is zero-padded past the real light-mesh count; the kernel's
+    # "count cum < target" pick must never count pad rows, so they become +big.
+    lcum = jnp.where(pack.lmesh_cum > 0.0, pack.lmesh_cum, T_MAX)[:, None]
+    par = jnp.stack(
+        [
+            pack.background[0],
+            pack.background[1],
+            pack.background[2],
+            pack.rr_rate,
+            pack.inv_rr,
+            pack.emit_total_area,
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+        ]
+    )[None, :]
+    return tri, sph, pack.mat_fat, pack.emt_fat, emeta, lcum, par
+
+
+def _cam_static(camera):
+    om = camera.orientation()
+    return {
+        "width": camera.width,
+        "height": camera.height,
+        "xscale": float(
+            np.tan(np.deg2rad(camera.fov * 0.5)) * camera.width / camera.height
+        ),
+        "yscale": float(np.tan(np.deg2rad(camera.fov * 0.5))),
+        "om": tuple(tuple(float(om[i, j]) for j in range(3)) for i in range(3)),
+        "pos": tuple(float(v) for v in camera.position),
+        "use_dof": bool(camera.use_dof),
+        "focal": float(camera.focal_distance),
+        "aperture": float(camera.aperture_radius),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "n_lanes", "max_bounces", "interpret"),
+)
+def trace_mega_block(
+    pack, camera, seed, lane_offset, spp, n_lanes, max_bounces=8, interpret=False
+):
+    """One kernel dispatch over `n_lanes` lanes starting at `lane_offset`.
+
+    Returns (mean radiance (n_lanes,), ray count (n_lanes,)). n_lanes must be
+    a multiple of CHUNK (=1024).
+    """
+    assert n_lanes % CHUNK == 0, n_lanes
+    tri, sph, mat, emt, emeta, lcum, par = mega_tables(pack)
+    rows = n_lanes // LANE
+    scal = jnp.concatenate(
+        [
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(lane_offset, jnp.int32).reshape(1),
+            jnp.asarray(spp, jnp.int32).reshape(1),
+            jnp.zeros(5, jnp.int32),
+        ]
+    )[None, :]
+    kernel = functools.partial(
+        _mega_kernel,
+        n_chunks=rows // CH_ROWS,
+        n_tris=tri.shape[0],
+        n_sph=sph.shape[0],
+        n_mats=mat.shape[0],
+        n_emitters=pack.n_emitters,
+        n_lmesh=lcum.shape[0],
+        max_bounces=max_bounces,
+        n_dir_sample=pack.n_dir_sample if pack.n_emitters else 0,
+        enable_shadow=pack.enable_shadow,
+        cam=_cam_static(camera),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, rows, LANE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((max_bounces, 4, CH_ROWS, LANE), jnp.float32)
+        ],
+        interpret=interpret,
+    )(scal, tri, sph, mat, emt, emeta, lcum, par)
+    flat = out.reshape(2, n_lanes)
+    return flat[0], flat[1]
+
+
+def render_mega(pack, camera, spp, seed=0, *, max_bounces=8, interpret=None):
+    """Full-image render through the megakernel.
+
+    Returns ((H, W, 3) float32 linear radiance, stats dict). Requires
+    `mega_supported(pack)`.
+    """
+    import time
+
+    if not mega_supported(pack):
+        raise ValueError("scene not supported by megakernel (env map or size)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w, h = camera.width, camera.height
+    lanes = w * h * 3
+    lanes_pad = -(-lanes // CHUNK) * CHUNK
+    t0 = time.monotonic()
+    rad = np.zeros(lanes_pad, np.float32)
+    total_rays = 0.0
+    off = 0
+    while off < lanes_pad:
+        n = min(MEGA_LANES, lanes_pad - off)
+        r, rays = trace_mega_block(
+            pack, camera, seed, off, spp, n, max_bounces, interpret
+        )
+        rad[off : off + n] = np.asarray(r)
+        total_rays += float(np.asarray(jnp.sum(rays)))
+        off += n
+    elapsed = time.monotonic() - t0
+    img = rad[:lanes].reshape(h, w, 3)
+    stats = {
+        "elapsed_s": elapsed,
+        "rays": int(total_rays),
+        "rays_per_s": total_rays / max(elapsed, 1e-9),
+        "camera_samples": w * h * spp,
+        "wavelength_paths": lanes * spp,
+    }
+    return img, stats
