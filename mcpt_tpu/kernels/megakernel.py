@@ -746,6 +746,21 @@ def _mega_kernel(
             alive0 = jnp.ones_like(x)
 
             def depth_body(depth, state):
+                # Whole-chunk early exit: when every lane is dead (edge
+                # chunks miss everything at depth 0; dark chunks die to RR)
+                # the remaining depths are skipped. Stale rec_ref slots above
+                # the last written depth are harmless: every lane's final
+                # record is terminal, and the reverse fold resets L at any
+                # terminal slot, destroying garbage above it.
+                return lax.cond(
+                    jnp.max(state[3]) > 0.5,
+                    _depth_live,
+                    lambda a: a[1],
+                    (depth, state),
+                )
+
+            def _depth_live(args):
+                depth, state = args
                 o, d, hit, alive_f, rays = state
                 alive = alive_f > 0.5
                 du = _murmur(su + depth.astype(jnp.uint32) * _U(0x85EBCA77))
