@@ -11,64 +11,72 @@ Each path traces 1 primary ray plus, per vertex (mean path length
 1/(1-0.4) ≈ 1.667), 4 shadow rays and (if RR survives, p=0.4) 1 bounce ray:
 rays/path ≈ 1 + 1.667*4 + 0.667 ≈ 8.33  →  baseline ≈ 1.48e7 rays/s.
 
-We count rays identically on our side (PathStats.rays: primary + 4 shadow +
-1 bounce per vertex) and render the DEMO Cornell-box scene (all four material
-classes, mesh + sphere primitives; main.cpp:99-129) at 1920x1080 — the
-driver's metric scene ("rays/s/chip at 1080p Cornell box").
+We count rays identically (primary + per-vertex 1 bounce + 4 shadow) and
+render the DEMO Cornell-box scene (all four material classes, mesh + sphere
+primitives; main.cpp:99-129) at 1920x1080 — the driver's metric scene
+("rays/s/chip at 1080p Cornell box").
 
-Env knobs: BENCH_SPP (default 4), BENCH_TILE (default 116 rows),
-BENCH_METHOD (default auto).
+The render runs through the path-regeneration megakernel
+(mcpt_tpu/kernels/megakernel.py): the full path tracer in one Pallas kernel
+per ~1M-lane block, so the timed section is 6 dispatches regardless of spp.
+A full warmup render (different seed) is excluded from the timing; the
+compile happens once (all blocks share one shape).
+
+Env knobs: BENCH_SPP (default 64), BENCH_MB (max bounces, default 8).
+Fallback: MCPT_BENCH_WAVEFRONT=1 times the tile-based wavefront path instead.
 """
 
 import json
 import os
+import sys
 import time
 
 BASELINE_RAYS_PER_S = 1.48e7
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
     import dataclasses
 
     import jax
-    import jax.numpy as jnp
 
     from mcpt_tpu.builtin_scenes import demo_scene
-    from mcpt_tpu.render import _render_tile
 
-    spp = int(os.environ.get("BENCH_SPP", "4"))
-    rows = int(os.environ.get("BENCH_TILE", "116"))
-    method = os.environ.get("BENCH_METHOD", "auto")
+    spp = int(os.environ.get("BENCH_SPP", "64"))
+    max_bounces = int(os.environ.get("BENCH_MB", "8"))
     width, height = 1920, 1080
-    max_bounces = 8
 
     sc = demo_scene()
     pack = sc.compile()
     cam = dataclasses.replace(sc.camera, width=width, height=height)
-    tile_pixels = rows * width
-    n_tiles = (width * height + tile_pixels - 1) // tile_pixels
-    key = jax.random.key(0)
+    log(f"bench: backend={jax.default_backend()} spp={spp} mb={max_bounces}")
 
-    # Warmup/compile on the first tile.
-    ids0 = jnp.arange(tile_pixels, dtype=jnp.int32)
-    fb, rays = _render_tile(pack, cam, ids0, key, spp, max_bounces, method)
-    fb.block_until_ready()
+    if os.environ.get("MCPT_BENCH_WAVEFRONT", "0") == "1":
+        from mcpt_tpu.render import render_radiance
 
-    total_rays = 0
-    t0 = time.monotonic()
-    for tile in range(n_tiles):
-        lo = tile * tile_pixels
-        ids = jnp.minimum(
-            jnp.arange(lo, lo + tile_pixels, dtype=jnp.int32), width * height - 1
+        t0 = time.monotonic()
+        _, w_stats = render_radiance(pack, cam, spp, key=jax.random.key(0))
+        log(f"wavefront render: {time.monotonic() - t0:.1f}s")
+        rays_per_s = w_stats["rays_per_s"]
+    else:
+        from mcpt_tpu.kernels.megakernel import render_mega
+
+        t0 = time.monotonic()
+        _, stats = render_mega(
+            pack, cam, spp, seed=7, max_bounces=max_bounces
         )
-        fb, rays = _render_tile(
-            pack, cam, ids, jax.random.fold_in(key, tile), spp, max_bounces, method
+        log(f"warmup (compile + full render): {time.monotonic() - t0:.1f}s")
+        _, stats = render_mega(
+            pack, cam, spp, seed=1, max_bounces=max_bounces
         )
-        total_rays += int(rays)
-    fb.block_until_ready()
-    elapsed = time.monotonic() - t0
+        log(
+            f"timed render: {stats['elapsed_s']:.2f}s rays={stats['rays']}"
+        )
+        rays_per_s = stats["rays_per_s"]
 
-    rays_per_s = total_rays / elapsed
     print(
         json.dumps(
             {

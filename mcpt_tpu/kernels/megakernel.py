@@ -642,6 +642,163 @@ def _pdf(m, ior, wi, wo, n, is_reflect):
     return jnp.where(_is_rough(m["mtype"]), p_rough, p_smooth)
 
 
+def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
+    """All per-vertex shading shared by both kernels: material gather, GGX
+    microfacet-normal sample + Fresnel split, the S-sample NEE fan, Russian
+    roulette, the stochastic reflect/refract branch, and the indirect weight
+    (Scene.cpp:56-182 minus the next-bounce intersect, which the caller owns
+    because the two kernels schedule it differently).
+
+    `draw(use)` returns one uniform tile per use-site id (the two kernels key
+    their counters differently); `depth0` masks the eye-emitter special case.
+    Everything is computed for every lane; the caller applies liveness masks.
+    """
+    chan = ctx["chan"]
+    lam = ctx["lam"]
+    wo = _neg(d)
+    m = _gather_mat(ctx["mat_ref"], ctx["n_mats"], mat_id, chan)
+    ior = m["ior_a"] + m["ior_b"] / (lam * lam)
+    b_leaf = jnp.clip(m["emit"] * jnp.abs(_dot(wo, n)), 0.0, 1.0)
+    is_b = depth0 & happened & emissive
+
+    # microfacet normal + fresnel split (Scene.cpp:109-110)
+    xi0 = draw(1)
+    xi1 = draw(2)
+    xi2 = draw(3)
+    xi3 = draw(4)
+    mfn = _sample_mfn(m, n, xi0, xi1)
+    kr = _fresnel(m, ior, d, mfn)
+
+    # ---- NEE (Scene.cpp:56-82,113-119): sample all S lights first, occlude
+    # the whole shadow fan in ONE shared-origin primitive loop, then shade.
+    p_dl = _add(p, _scale(n, jnp.float32(EPSILON)))
+    inner = _dot(wo, n) < 0.0
+    refl = _reflectance(m, uv)
+    x = lam  # shape/dtype template
+    l_dir_raw = jnp.zeros_like(x)
+    if ctx["n_emitters"] > 0:
+        samples = []
+        for si in range(ctx["n_dir_sample"]):
+            base = 16 + 4 * si
+            v0_ = draw(base)
+            v1_ = draw(base + 1)
+            v2_ = draw(base + 2)
+            v3_ = draw(base + 3)
+            # stage 1: mesh by cumulative area (Scene.cpp:28-36)
+            target = v0_ * ctx["total_area"]
+            mesh = jnp.zeros_like(x)
+            for li in range(ctx["n_lmesh"]):
+                mesh += jnp.where(ctx["lcum_ref"][li, 0] < target, 1.0, 0.0)
+            # stage 2: emitter triangle within mesh
+            # (BVH.cpp:120-135 area descent, sqrt warp)
+            emeta_ref = ctx["emeta_ref"]
+            emt_ref = ctx["emt_ref"]
+            mesh_area = jnp.zeros_like(x)
+            for ei in range(ctx["n_emitters"]):
+                same = emeta_ref[ei, 0] == mesh
+                mesh_area = jnp.where(same, emeta_ref[ei, 2], mesh_area)
+            p_tgt = jnp.sqrt(v1_) * mesh_area
+            found = jnp.zeros_like(x, dtype=bool)
+            row = [jnp.zeros_like(x) for _ in range(16)]
+            # First same-mesh row whose inclusive cumulative-area bound
+            # fires wins; if none fires, the LAST same-mesh row is the
+            # fallback (BVH.cpp:131-135): keep overwriting until found.
+            for ei in range(ctx["n_emitters"]):
+                same = emeta_ref[ei, 0] == mesh
+                take = same & ~found
+                for c_ in range(16):
+                    row[c_] = jnp.where(take, emt_ref[ei, c_], row[c_])
+                found = found | (same & (p_tgt < emeta_ref[ei, 1]))
+            xs = jnp.sqrt(v2_)
+            ys = v3_
+            wx = xs * (1.0 - ys)
+            wy = xs * ys
+            lp = (
+                row[0] + row[3] * wx + row[6] * wy,
+                row[1] + row[4] * wx + row[7] * wy,
+                row[2] + row[5] * wx + row[8] * wy,
+            )
+            ln = (row[9], row[10], row[11])
+            emit_l = jnp.where(
+                chan == 0, row[12], jnp.where(chan == 1, row[13], row[14])
+            )
+            delta = _sub(lp, p_dl)
+            # dist stays sqrt-then-divide (NOT rsqrt): the |t − dist| < EPS
+            # visibility test is ULP-marginal at scene scale and must match
+            # the wavefront path.
+            dist = jnp.sqrt(jnp.maximum(_dot(delta, delta), 1e-20))
+            inv_dist = 1.0 / dist
+            ws = _scale(delta, inv_dist)
+            samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
+
+        if ctx["enable_shadow"]:
+            t_sh = _occlude_shared_origin(
+                ctx["tri_ref"],
+                ctx["sph_ref"],
+                ctx["n_tris"],
+                ctx["n_sph"],
+                p_dl,
+                [s_[0] for s_ in samples],
+            )
+        for si in range(ctx["n_dir_sample"]):
+            ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
+            if ctx["enable_shadow"]:
+                visible = (t_sh[si] < T_MAX) & (
+                    jnp.abs(t_sh[si] - dist) < EPSILON
+                )
+            else:
+                visible = jnp.ones_like(x, dtype=bool)
+            ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
+            # Scene.cpp:76-78: ... / dist² / pdf / S with the area pdf
+            # = 1/mesh_area (lights.py), i.e. ×mesh_area.
+            contrib = (
+                emit_l
+                * ev
+                * _dot(ws, n)
+                * -_dot(ws, ln)
+                * (inv_dist * inv_dist)
+                * mesh_area
+                * jnp.float32(1.0 / ctx["n_dir_sample"])
+            )
+            l_dir_raw += jnp.where(visible, contrib, 0.0)
+    l_dir = jnp.where(inner, 1.0 - kr, kr) * l_dir_raw
+
+    # ---- RR + stochastic reflect/refract (Scene.cpp:121-159)
+    rr_kill = xi2 >= ctx["rr_rate"]
+    branch_reflect = xi3 < kr
+    womfn = _dot(wo, mfn)
+    sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
+    sign = jnp.where(branch_reflect, sign_reflect, -sign_reflect)
+    p_new = _add(p, _scale(n, EPSILON * sign))
+    wi = _where3(branch_reflect, _reflect(wo, mfn), _refract(ior, d, mfn))
+
+    ev = _eval_bsdf(m, ior, refl, wi, wo, n, branch_reflect)
+    pv = _pdf(m, ior, wi, wo, n, branch_reflect)
+    pv_ok = jnp.abs(pv) > 1e-10
+    w_rough = jnp.where(
+        pv_ok,
+        ev * jnp.abs(_dot(wo, n)) / jnp.where(pv_ok, pv, 1.0) * ctx["inv_rr"],
+        0.0,
+    )
+    w = jnp.where(m["dirac"] > 0.5, ev * ctx["inv_rr"], w_rough)
+
+    bg = ctx["bg"]
+    bg_l = jnp.where(chan == 0, bg[0], jnp.where(chan == 1, bg[1], bg[2]))
+    env_ind = bg_l * ev * ctx["inv_rr"]
+
+    return {
+        "l_dir": l_dir,
+        "w": w,
+        "p_new": p_new,
+        "wi": wi,
+        "rr_kill": rr_kill,
+        "is_b": is_b,
+        "b_leaf": b_leaf,
+        "bg_l": bg_l,
+        "env_ind": env_ind,
+    }
+
+
 def _mega_kernel(
     scal_ref,  # (1, 8) SMEM int32: [seed, lane_offset, spp, ...]
     tri_ref,  # (T8, 25) SMEM f32 (layout in mega_tables)
@@ -701,6 +858,28 @@ def _mega_kernel(
                 om[1][0] * v[0] + om[1][1] * v[1] + om[1][2] * v[2],
                 om[2][0] * v[0] + om[2][1] * v[1] + om[2][2] * v[2],
             )
+
+        ctx = {
+            "tri_ref": tri_ref,
+            "sph_ref": sph_ref,
+            "mat_ref": mat_ref,
+            "emt_ref": emt_ref,
+            "emeta_ref": emeta_ref,
+            "lcum_ref": lcum_ref,
+            "n_tris": n_tris,
+            "n_sph": n_sph,
+            "n_mats": n_mats,
+            "n_emitters": n_emitters,
+            "n_lmesh": n_lmesh,
+            "n_dir_sample": n_dir_sample,
+            "enable_shadow": enable_shadow,
+            "chan": chan,
+            "lam": lam,
+            "bg": bg,
+            "rr_rate": rr_rate,
+            "inv_rr": inv_rr,
+            "total_area": total_area,
+        }
 
         def spp_body(s, acc):
             rad_acc, ray_acc = acc
@@ -767,170 +946,48 @@ def _mega_kernel(
                 t, happened_f, p, n, uv, mat_id, emissive_f = hit
                 happened = happened_f > 0.5
                 emissive = emissive_f > 0.5
-                wo = _neg(d)
 
-                m = _gather_mat(mat_ref, n_mats, mat_id, chan)
-                ior = m["ior_a"] + m["ior_b"] / (lam * lam)
-                b_leaf = jnp.clip(m["emit"] * jnp.abs(_dot(wo, n)), 0.0, 1.0)
-                is_b = (depth == 0) & happened & emissive
+                V = _process_vertex(
+                    ctx,
+                    lambda use: _draw(lane_u, du + _U(use)),
+                    d,
+                    p,
+                    n,
+                    uv,
+                    mat_id,
+                    happened,
+                    emissive,
+                    depth == 0,
+                )
+                l_dir = V["l_dir"]
+                w = V["w"]
+                is_b = V["is_b"]
                 at_vertex = alive & happened & ~is_b
 
-                # microfacet normal + fresnel split (Scene.cpp:109-110)
-                xi0 = _draw(lane_u, du + _U(1))
-                xi1 = _draw(lane_u, du + _U(2))
-                xi2 = _draw(lane_u, du + _U(3))
-                xi3 = _draw(lane_u, du + _U(4))
-                mfn = _sample_mfn(m, n, xi0, xi1)
-                kr = _fresnel(m, ior, d, mfn)
-
-                # ---- NEE (Scene.cpp:56-82,113-119): sample all S lights
-                # first, occlude the whole shadow fan in ONE shared-origin
-                # primitive loop, then shade.
-                p_dl = _add(p, _scale(n, jnp.float32(EPSILON)))
-                inner = _dot(wo, n) < 0.0
-                refl = _reflectance(m, uv)
-                l_dir_raw = jnp.zeros_like(x)
-                if n_emitters > 0:
-                    samples = []
-                    for si in range(n_dir_sample):
-                        nu = du + _U(16 + 4 * si)
-                        v0_ = _draw(lane_u, nu)
-                        v1_ = _draw(lane_u, nu + _U(1))
-                        v2_ = _draw(lane_u, nu + _U(2))
-                        v3_ = _draw(lane_u, nu + _U(3))
-                        # stage 1: mesh by cumulative area (Scene.cpp:28-36)
-                        target = v0_ * total_area
-                        mesh = jnp.zeros_like(x)
-                        for li in range(n_lmesh):
-                            mesh += jnp.where(lcum_ref[li, 0] < target, 1.0, 0.0)
-                        # stage 2: emitter triangle within mesh
-                        # (BVH.cpp:120-135 area descent, sqrt warp)
-                        mesh_area = jnp.zeros_like(x)
-                        for ei in range(n_emitters):
-                            same = emeta_ref[ei, 0] == mesh
-                            mesh_area = jnp.where(
-                                same, emeta_ref[ei, 2], mesh_area
-                            )
-                        p_tgt = jnp.sqrt(v1_) * mesh_area
-                        found = jnp.zeros_like(x, dtype=bool)
-                        row = [jnp.zeros_like(x) for _ in range(16)]
-                        # First same-mesh row whose inclusive cumulative area
-                        # bound fires wins; if none fires, the LAST same-mesh
-                        # row is the fallback (BVH.cpp:131-135): keep
-                        # overwriting with every same-mesh row until found.
-                        for ei in range(n_emitters):
-                            same = emeta_ref[ei, 0] == mesh
-                            take = same & ~found
-                            for c_ in range(16):
-                                row[c_] = jnp.where(take, emt_ref[ei, c_], row[c_])
-                            found = found | (same & (p_tgt < emeta_ref[ei, 1]))
-                        xs = jnp.sqrt(v2_)
-                        ys = v3_
-                        wx = xs * (1.0 - ys)
-                        wy = xs * ys
-                        lp = (
-                            row[0] + row[3] * wx + row[6] * wy,
-                            row[1] + row[4] * wx + row[7] * wy,
-                            row[2] + row[5] * wx + row[8] * wy,
-                        )
-                        ln = (row[9], row[10], row[11])
-                        emit_l = jnp.where(
-                            chan == 0,
-                            row[12],
-                            jnp.where(chan == 1, row[13], row[14]),
-                        )
-                        delta = _sub(lp, p_dl)
-                        # dist stays sqrt-then-divide (NOT rsqrt): the
-                        # |t − dist| < EPS visibility test is ULP-marginal at
-                        # scene scale and must match the wavefront path.
-                        dist = jnp.sqrt(jnp.maximum(_dot(delta, delta), 1e-20))
-                        inv_dist = 1.0 / dist
-                        ws = _scale(delta, inv_dist)
-                        samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
-
-                    if enable_shadow:
-                        t_sh = _occlude_shared_origin(
-                            tri_ref,
-                            sph_ref,
-                            n_tris,
-                            n_sph,
-                            p_dl,
-                            [s_[0] for s_ in samples],
-                        )
-                    for si in range(n_dir_sample):
-                        ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
-                        if enable_shadow:
-                            visible = (t_sh[si] < T_MAX) & (
-                                jnp.abs(t_sh[si] - dist) < EPSILON
-                            )
-                        else:
-                            visible = jnp.ones_like(x, dtype=bool)
-                        ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
-                        # Scene.cpp:76-78: ... / dist² / pdf / S with the area
-                        # pdf = 1/mesh_area (lights.py), i.e. ×mesh_area.
-                        contrib = (
-                            emit_l
-                            * ev
-                            * _dot(ws, n)
-                            * -_dot(ws, ln)
-                            * (inv_dist * inv_dist)
-                            * mesh_area
-                            * jnp.float32(1.0 / n_dir_sample)
-                        )
-                        l_dir_raw += jnp.where(visible, contrib, 0.0)
-                l_dir = jnp.where(inner, 1.0 - kr, kr) * l_dir_raw
-
-                # ---- RR + stochastic reflect/refract (Scene.cpp:121-159)
-                rr_kill = xi2 >= rr_rate
-                branch_reflect = xi3 < kr
-                womfn = _dot(wo, mfn)
-                sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
-                sign = jnp.where(branch_reflect, sign_reflect, -sign_reflect)
-                p_new = _add(p, _scale(n, EPSILON * sign))
-                wi = _where3(
-                    branch_reflect, _reflect(wo, mfn), _refract(ior, d, mfn)
-                )
                 nxt = _intersect_tile(
-                    tri_ref, sph_ref, n_tris, n_sph, p_new, wi, False
+                    tri_ref, sph_ref, n_tris, n_sph, V["p_new"], V["wi"], False
                 )
                 nxt_happened = nxt[1]
                 nxt_emissive = nxt[6]
-
-                ev = _eval_bsdf(m, ior, refl, wi, wo, n, branch_reflect)
-                pv = _pdf(m, ior, wi, wo, n, branch_reflect)
-                pv_ok = jnp.abs(pv) > 1e-10
-                w_rough = jnp.where(
-                    pv_ok,
-                    ev
-                    * jnp.abs(_dot(wo, n))
-                    / jnp.where(pv_ok, pv, 1.0)
-                    * inv_rr,
-                    0.0,
-                )
-                w = jnp.where(m["dirac"] > 0.5, ev * inv_rr, w_rough)
-
-                cont = at_vertex & ~rr_kill & nxt_happened & ~nxt_emissive
+                cont = at_vertex & ~V["rr_kill"] & nxt_happened & ~nxt_emissive
                 nxt = nxt[:1] + (nxt[1].astype(jnp.float32),) + nxt[2:6] + (
                     nxt[6].astype(jnp.float32),
                 )
-                # miss/emitter bounce leaf: env is the constant background.
-                bg_l = jnp.where(chan == 0, bg[0], jnp.where(chan == 1, bg[1], bg[2]))
-                env_ind = bg_l * ev * inv_rr
 
                 leaf = jnp.where(
                     ~alive,
                     0.0,
                     jnp.where(
                         ~happened,
-                        bg_l,
+                        V["bg_l"],
                         jnp.where(
                             is_b,
-                            b_leaf,
+                            V["b_leaf"],
                             jnp.where(
-                                rr_kill,
+                                V["rr_kill"],
                                 l_dir,
                                 jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
-                                + jnp.clip(env_ind, 0.0, CLAMP_INDIRECT),
+                                + jnp.clip(V["env_ind"], 0.0, CLAMP_INDIRECT),
                             ),
                         ),
                     ),
@@ -943,7 +1000,7 @@ def _mega_kernel(
                 rays = rays + jnp.where(
                     at_vertex, jnp.float32(1 + n_dir_sample), 0.0
                 )
-                return (p_new, wi, nxt, cont.astype(jnp.float32), rays)
+                return (V["p_new"], V["wi"], nxt, cont.astype(jnp.float32), rays)
 
             rays0 = jnp.ones_like(x)  # the primary ray per lane
             state = (o, d, hit0, alive0, rays0)
@@ -971,6 +1028,312 @@ def _mega_kernel(
 
         zero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
         rad, rays = lax.fori_loop(0, spp, spp_body, (zero, zero))
+        out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
+        out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
+        return 0
+
+    lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _mega_kernel_regen(
+    scal_ref,
+    tri_ref,
+    sph_ref,
+    mat_ref,
+    emt_ref,
+    emeta_ref,
+    lcum_ref,
+    par_ref,
+    out_ref,
+    rec_ref,
+    *,
+    n_chunks,
+    n_tris,
+    n_sph,
+    n_mats,
+    n_emitters,
+    n_lmesh,
+    max_bounces,
+    n_dir_sample,
+    enable_shadow,
+    cam,
+):
+    """Path-regeneration variant: each lane runs its own sample stream.
+
+    The v1 kernel advances the whole chunk through max_bounces lockstep
+    depths per sample, so lanes killed by Russian roulette idle (~60% of all
+    lane-depths at rr=0.7). Here every lane that terminates folds its
+    records, accumulates, and immediately spawns its next camera sample —
+    lanes stay at ~100% occupancy until their spp budget runs out.
+
+    Mechanics:
+    - per-lane depth/sample counters (d_lane, s_lane); one shared intersect
+      per iteration serves bounce rays and freshly spawned camera rays alike;
+    - a vertex's record cannot be finalized until its bounce ray's hit is
+      known (the reference's "indirect ray reached an emitter/missed → env
+      color" rule, Scene.cpp:145-176), so survivors carry a PENDING record
+      (l_dir, w, env-leaf candidate) finalized next iteration;
+    - records land in per-lane depth slots via a one-hot select over the
+      max_bounces scratch slots; the reverse fold runs every iteration and
+      is charged only to lanes that just terminated. Stale higher slots are
+      harmless (every path tops out with a terminal record, and the fold
+      resets at terminal slots);
+    - RNG counters fold (lane, s_lane, d_lane, use) per draw — fully
+      deterministic and independent of scheduling; camera draws key on
+      (pixel, s_lane) so the three channel lanes still share each sample's
+      primary ray even though they desynchronize.
+    """
+    seed = scal_ref[0, 0].astype(jnp.uint32)
+    lane_off = scal_ref[0, 1]
+    spp = scal_ref[0, 2]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
+
+    bg = (par_ref[0, 0], par_ref[0, 1], par_ref[0, 2])
+    rr_rate = par_ref[0, 3]
+    inv_rr = par_ref[0, 4]
+    total_area = par_ref[0, 5]
+
+    def chunk_body(rc, _):
+        r0 = rc * CH_ROWS
+        lane = lane_off + (r0 + row_iota) * LANE + col_iota
+        pix = lane // 3
+        chan = lane - pix * 3
+        pix_u = pix.astype(jnp.uint32)
+        lane_u = lane.astype(jnp.uint32)
+        lam = jnp.where(
+            chan == 0,
+            jnp.float32(WAVELEN_UM[0]),
+            jnp.where(
+                chan == 1, jnp.float32(WAVELEN_UM[1]), jnp.float32(WAVELEN_UM[2])
+            ),
+        )
+        fi = (pix % cam["width"]).astype(jnp.float32)
+        fj = (pix // cam["width"]).astype(jnp.float32)
+
+        def rot(v):
+            om = cam["om"]
+            return (
+                om[0][0] * v[0] + om[0][1] * v[1] + om[0][2] * v[2],
+                om[1][0] * v[0] + om[1][1] * v[1] + om[1][2] * v[2],
+                om[2][0] * v[0] + om[2][1] * v[1] + om[2][2] * v[2],
+            )
+
+        ctx = {
+            "tri_ref": tri_ref,
+            "sph_ref": sph_ref,
+            "mat_ref": mat_ref,
+            "emt_ref": emt_ref,
+            "emeta_ref": emeta_ref,
+            "lcum_ref": lcum_ref,
+            "n_tris": n_tris,
+            "n_sph": n_sph,
+            "n_mats": n_mats,
+            "n_emitters": n_emitters,
+            "n_lmesh": n_lmesh,
+            "n_dir_sample": n_dir_sample,
+            "enable_shadow": enable_shadow,
+            "chan": chan,
+            "lam": lam,
+            "bg": bg,
+            "rr_rate": rr_rate,
+            "inv_rr": inv_rr,
+            "total_area": total_area,
+        }
+
+        def cam_ray(s_vec):
+            """Camera ray of per-lane sample index s_vec (Renderer.cpp:44-76);
+            draws key on (pixel, sample) only."""
+            mix = (
+                s_vec.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                + seed * _U(0x01000193)
+            )
+            camdraw = lambda c: _unit(
+                _murmur(pix_u * _U(0x9E3779B1) + mix + _U(c))
+            )
+            u0 = camdraw(0x51ED2701)
+            u1 = camdraw(0x51ED2702)
+            x = (1.0 - 2.0 * (fi + u0) / cam["width"]) * cam["xscale"]
+            y = (1.0 - 2.0 * (fj + u1) / cam["height"]) * cam["yscale"]
+            one = jnp.ones_like(x)
+            if cam["use_dof"]:
+                u2 = camdraw(0x51ED2703)
+                u3 = camdraw(0x51ED2704)
+                r = cam["aperture"] * jnp.sqrt(u2)
+                theta = 2.0 * jnp.pi * u3
+                dx = r * jnp.cos(theta)
+                dy = r * jnp.sin(theta)
+                lens_w = rot((dx, dy, jnp.zeros_like(dx)))
+                o = (
+                    cam["pos"][0] + lens_w[0],
+                    cam["pos"][1] + lens_w[1],
+                    cam["pos"][2] + lens_w[2],
+                )
+                fd = cam["focal"]
+                dirs = (x * fd - dx, y * fd - dy, one * fd)
+            else:
+                o = (
+                    jnp.broadcast_to(jnp.float32(cam["pos"][0]), x.shape),
+                    jnp.broadcast_to(jnp.float32(cam["pos"][1]), x.shape),
+                    jnp.broadcast_to(jnp.float32(cam["pos"][2]), x.shape),
+                )
+                dirs = (x, y, one)
+            return o, rot(_normalize(dirs))
+
+        def fold_records():
+            l_next = jnp.zeros((CH_ROWS, LANE), jnp.float32)
+            for k in reversed(range(max_bounces)):
+                term = rec_ref[k, 3] > 0.5
+                l_next = jnp.where(
+                    term,
+                    rec_ref[k, 2],
+                    jnp.clip(rec_ref[k, 0], 0.0, CLAMP_DIRECT)
+                    + jnp.clip(rec_ref[k, 1] * l_next, 0.0, CLAMP_INDIRECT),
+                )
+            return l_next
+
+        # ---- initial state: every lane spawns sample 0
+        izero = jnp.zeros((CH_ROWS, LANE), jnp.int32)
+        fzero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
+        o0, d0 = cam_ray(izero)
+        h = _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o0, d0, False)
+        hit0 = h[:1] + (h[1].astype(jnp.float32),) + h[2:6] + (
+            h[6].astype(jnp.float32),
+        )
+        state0 = (
+            o0,
+            d0,
+            hit0,
+            izero,  # d_lane
+            izero,  # s_lane
+            fzero,  # has_pend
+            fzero,  # pend_l_dir
+            fzero,  # pend_w
+            fzero,  # pend_env_leaf
+            fzero,  # rad
+            jnp.ones((CH_ROWS, LANE), jnp.float32),  # rays (sample-0 primary)
+        )
+
+        def iter_body(it, state):
+            return lax.cond(
+                jnp.min(state[4]) < spp, _iter_live, lambda a: a[1], (it, state)
+            )
+
+        def _iter_live(args):
+            _, state = args
+            (o, d, hit, d_lane, s_lane, has_pend_f, pend_l, pend_w,
+             pend_leaf, rad, rays) = state
+            active = s_lane < spp
+            t, happened_f, p, n, uv, mat_id, em_f = hit
+            happened = happened_f > 0.5
+            emissive = em_f > 0.5
+            has_pend = (has_pend_f > 0.5) & active
+
+            # 1. finalize the pending record using this iteration's hit:
+            # bounce ray missed or reached an emitter → env-rule terminal
+            # (Scene.cpp:145-176); otherwise the path continues here.
+            ended_env = has_pend & (~happened | emissive)
+
+            # 2. vertex processing (skipped state-wise for ended_env lanes)
+            proc = active & ~ended_env
+            draw = lambda use: _unit(
+                _murmur(
+                    lane_u * _U(0x9E3779B1)
+                    + s_lane.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                    + d_lane.astype(jnp.uint32) * _U(0x9E3779B9)
+                    + seed * _U(0x01000193)
+                    + _U((use * 0x632BE59B) & 0xFFFFFFFF)
+                )
+            )
+            V = _process_vertex(
+                ctx, draw, d, p, n, uv, mat_id, happened, emissive,
+                d_lane == 0,
+            )
+            at_vertex = proc & happened & ~V["is_b"]
+            survive_raw = at_vertex & ~V["rr_kill"]
+            capped = survive_raw & (d_lane == max_bounces - 1)
+            survive = survive_raw & ~capped
+            tnow = proc & ~survive_raw
+            write_now = tnow | capped
+
+            # terminal-now leaf: miss → bg; eye-emitter → clamped emission;
+            # RR kill → RAW l_dir (Scene.cpp:129,156); bounce-cap → the v1
+            # fold value clamp15(l_dir) + clamp5(w·0) = clamp15(l_dir).
+            leaf_now = jnp.where(
+                ~happened,
+                V["bg_l"],
+                jnp.where(
+                    V["is_b"],
+                    V["b_leaf"],
+                    jnp.where(
+                        capped,
+                        jnp.clip(V["l_dir"], 0.0, CLAMP_DIRECT),
+                        V["l_dir"],
+                    ),
+                ),
+            )
+            pend_leaf_fin = jnp.where(ended_env, pend_leaf, 0.0)
+            pend_term_fin = jnp.where(ended_env, 1.0, 0.0)
+
+            # 3. one-hot record writes: the pending record lands at
+            # d_lane-1, a terminal-now record at d_lane (different slots, so
+            # one lane can do both in one iteration).
+            slot_p = d_lane - 1
+            l_dir_m = jnp.where(proc, V["l_dir"], 0.0)
+            for k in range(max_bounces):
+                selp = has_pend & (slot_p == k)
+                seln = write_now & (d_lane == k)
+                rec_ref[k, 0] = jnp.where(
+                    seln, l_dir_m, jnp.where(selp, pend_l, rec_ref[k, 0])
+                )
+                rec_ref[k, 1] = jnp.where(
+                    seln, V["w"], jnp.where(selp, pend_w, rec_ref[k, 1])
+                )
+                rec_ref[k, 2] = jnp.where(
+                    seln, leaf_now, jnp.where(selp, pend_leaf_fin, rec_ref[k, 2])
+                )
+                rec_ref[k, 3] = jnp.where(
+                    seln, 1.0, jnp.where(selp, pend_term_fin, rec_ref[k, 3])
+                )
+
+            # 4. fold + respawn for lanes whose path just ended
+            done_now = active & (write_now | ended_env)
+            radiance = fold_records()
+            rad = rad + jnp.where(done_now, radiance, 0.0)
+            s_new = s_lane + done_now.astype(jnp.int32)
+            need_spawn = done_now & (s_new < spp)
+            oc, dc = cam_ray(s_new)
+            o = _where3(need_spawn, oc, _where3(survive, V["p_new"], o))
+            d = _where3(need_spawn, dc, _where3(survive, V["wi"], d))
+            d_lane = jnp.where(
+                done_now, 0, jnp.where(survive, d_lane + 1, d_lane)
+            )
+            has_pend_f = jnp.where(survive, 1.0, 0.0)
+            pend_l = l_dir_m
+            pend_w = V["w"]
+            pend_leaf = jnp.clip(V["l_dir"], 0.0, CLAMP_DIRECT) + jnp.clip(
+                V["env_ind"], 0.0, CLAMP_INDIRECT
+            )
+            rays = (
+                rays
+                + jnp.where(at_vertex, jnp.float32(1 + n_dir_sample), 0.0)
+                + need_spawn.astype(jnp.float32)
+            )
+
+            # 5. one shared intersect: bounce rays and fresh camera rays
+            h = _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, False)
+            hit = h[:1] + (h[1].astype(jnp.float32),) + h[2:6] + (
+                h[6].astype(jnp.float32),
+            )
+            return (
+                o, d, hit, d_lane, s_new, has_pend_f, pend_l, pend_w,
+                pend_leaf, rad, rays,
+            )
+
+        total_iters = spp * jnp.int32(max_bounces + 1)
+        state = lax.fori_loop(0, total_iters, iter_body, state0)
+        rad, rays = state[9], state[10]
         out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
         out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
         return 0
@@ -1044,15 +1407,24 @@ def _cam_static(camera):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "n_lanes", "max_bounces", "interpret"),
+    static_argnames=("camera", "n_lanes", "max_bounces", "interpret", "regen"),
 )
 def trace_mega_block(
-    pack, camera, seed, lane_offset, spp, n_lanes, max_bounces=8, interpret=False
+    pack,
+    camera,
+    seed,
+    lane_offset,
+    spp,
+    n_lanes,
+    max_bounces=8,
+    interpret=False,
+    regen=True,
 ):
     """One kernel dispatch over `n_lanes` lanes starting at `lane_offset`.
 
     Returns (mean radiance (n_lanes,), ray count (n_lanes,)). n_lanes must be
-    a multiple of CHUNK (=1024).
+    a multiple of CHUNK (=1024). regen=True uses the path-regeneration
+    kernel (fastest); regen=False the lockstep spp × depth kernel.
     """
     assert n_lanes % CHUNK == 0, n_lanes
     tri, sph, mat, emt, emeta, lcum, par = mega_tables(pack)
@@ -1066,7 +1438,7 @@ def trace_mega_block(
         ]
     )[None, :]
     kernel = functools.partial(
-        _mega_kernel,
+        _mega_kernel_regen if regen else _mega_kernel,
         n_chunks=rows // CH_ROWS,
         n_tris=tri.shape[0],
         n_sph=sph.shape[0],
@@ -1092,7 +1464,100 @@ def trace_mega_block(
     return flat[0], flat[1]
 
 
-def render_mega(pack, camera, spp, seed=0, *, max_bounces=8, interpret=None):
+def render_mega_sharded(
+    pack,
+    camera,
+    spp,
+    seed=0,
+    *,
+    devices=None,
+    max_bounces=8,
+    interpret=None,
+    regen=True,
+):
+    """Multi-chip megakernel render: lane blocks data-parallel over devices.
+
+    The scene pack is replicated; the (pixel × channel) lane axis is split
+    into contiguous per-device block ranges and each device runs the same
+    megakernel on its range (lane_offset is a traced scalar, so every device
+    shares ONE compiled kernel). Paths are independent — the only collective
+    is the framebuffer gather shard_map performs on the way out, exactly the
+    communication structure SURVEY.md §2 prescribes for this workload.
+
+    Returns ((H, W, 3) radiance, stats). Works on any 1-D device list
+    (TPU chips over ICI, or the 8-virtual-CPU test mesh with interpret=True).
+    """
+    import time
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    if not mega_supported(pack):
+        raise ValueError("scene not supported by megakernel (env map or size)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    devices = list(devices if devices is not None else jax.devices())
+    nd = len(devices)
+    w, h = camera.width, camera.height
+    lanes = w * h * 3
+    per_dev = -(-lanes // (nd * CHUNK)) * CHUNK
+    mesh = Mesh(np.array(devices), ("shard",))
+    offsets = jnp.arange(nd, dtype=jnp.int32) * per_dev
+    seed_arr = jnp.asarray(seed, jnp.int32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), pack),
+            P("shard"),
+            P(),
+        ),
+        out_specs=(P("shard"), P("shard")),
+        # pallas_call's out_shape carries no varying-mesh-axes info
+        check_vma=False,
+    )
+    def run(pack_l, off_l, seed_l):
+        rads, rays = [], []
+        done = 0
+        while done < per_dev:
+            n = min(MEGA_LANES, per_dev - done)
+            r, ry = trace_mega_block(
+                pack_l,
+                camera,
+                seed_l,
+                off_l[0] + done,
+                spp,
+                n,
+                max_bounces,
+                interpret,
+                regen,
+            )
+            rads.append(r)
+            rays.append(ry)
+            done += n
+        return jnp.concatenate(rads), jnp.concatenate(rays)
+
+    t0 = time.monotonic()
+    with mesh:
+        rad, rays = run(pack, offsets, seed_arr)
+    rad = np.asarray(rad)
+    # Pad lanes trace real (wrapped-pixel) paths; count only image lanes.
+    total_rays = float(np.asarray(jnp.sum(rays[:lanes])))
+    elapsed = time.monotonic() - t0
+    img = rad[:lanes].reshape(h, w, 3)
+    stats = {
+        "elapsed_s": elapsed,
+        "rays": int(total_rays),
+        "rays_per_s": total_rays / max(elapsed, 1e-9),
+        "devices": nd,
+    }
+    return img, stats
+
+
+def render_mega(
+    pack, camera, spp, seed=0, *, max_bounces=8, interpret=None, regen=True
+):
     """Full-image render through the megakernel.
 
     Returns ((H, W, 3) float32 linear radiance, stats dict). Requires
@@ -1106,7 +1571,12 @@ def render_mega(pack, camera, spp, seed=0, *, max_bounces=8, interpret=None):
         interpret = jax.default_backend() != "tpu"
     w, h = camera.width, camera.height
     lanes = w * h * 3
-    lanes_pad = -(-lanes // CHUNK) * CHUNK
+    # One block shape only: images larger than a MEGA block round up to whole
+    # MEGA blocks (≤1 block of waste ≈ 1-2%) so the kernel compiles once.
+    if lanes > MEGA_LANES:
+        lanes_pad = -(-lanes // MEGA_LANES) * MEGA_LANES
+    else:
+        lanes_pad = -(-lanes // CHUNK) * CHUNK
     t0 = time.monotonic()
     rad = np.zeros(lanes_pad, np.float32)
     total_rays = 0.0
@@ -1114,10 +1584,12 @@ def render_mega(pack, camera, spp, seed=0, *, max_bounces=8, interpret=None):
     while off < lanes_pad:
         n = min(MEGA_LANES, lanes_pad - off)
         r, rays = trace_mega_block(
-            pack, camera, seed, off, spp, n, max_bounces, interpret
+            pack, camera, seed, off, spp, n, max_bounces, interpret, regen
         )
         rad[off : off + n] = np.asarray(r)
-        total_rays += float(np.asarray(jnp.sum(rays)))
+        # Pad lanes trace real (wrapped-pixel) paths; count image lanes only.
+        n_real = max(0, min(lanes - off, n))
+        total_rays += float(np.asarray(jnp.sum(rays[:n_real])))
         off += n
     elapsed = time.monotonic() - t0
     img = rad[:lanes].reshape(h, w, 3)
