@@ -126,6 +126,7 @@ def run_one(idx: int, full: bool, max_bounces: int = 8):
 
     import jax
 
+    from mcpt_tpu.kernels.megakernel import mega_supported, render_mega
     from mcpt_tpu.render import render_radiance
 
     sc, w, h, spp = CONFIGS[idx]()
@@ -134,19 +135,22 @@ def run_one(idx: int, full: bool, max_bounces: int = 8):
         w, h = max(64, w // 4), max(64, h // 4)
     cam = dataclasses.replace(sc.camera, width=w, height=h)
     pack = sc.compile()
-    t0 = time.monotonic()
-    fb, stats = render_radiance(
-        pack, cam, spp, key=jax.random.key(0), max_bounces=max_bounces
-    )
+    use_mega = mega_supported(pack) and jax.default_backend() == "tpu"
+    if use_mega:
+        fb, stats = render_mega(pack, cam, spp, max_bounces=max_bounces)
+    else:
+        fb, stats = render_radiance(
+            pack, cam, spp, key=jax.random.key(0), max_bounces=max_bounces
+        )
     out = {
         "config": idx,
         "name": CONFIGS[idx].__doc__.split(".")[0],
         "width": w,
         "height": h,
         "spp": spp,
+        "path": "megakernel" if use_mega else "wavefront",
         "wall_s": round(stats["elapsed_s"], 2),
         "rays_per_s": round(stats["rays_per_s"], 1),
-        "wavelength_paths_per_s": round(stats["wavelength_paths_per_s"], 1),
         "mean_radiance": [round(float(x), 5) for x in fb.mean(axis=(0, 1))],
     }
     print(json.dumps(out), flush=True)

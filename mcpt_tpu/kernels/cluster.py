@@ -1,0 +1,414 @@
+"""Clustered-BVH tables for the big-scene megakernel intersect.
+
+Big scenes (> the SMEM brute-force budget) cannot hold their triangle table
+in SMEM, and per-lane BVH traversal cannot vectorize on a TPU (no per-lane
+gather). The TPU-native structure used here:
+
+- the threaded (miss-link) BVH **node table lives in SMEM**, packed 8 nodes
+  per 128-float row (SMEM rows are 512-byte strided on this chip, so narrow
+  tables waste capacity 16x);
+- the **scalar core walks the tree once per 128-ray bundle** (stackless,
+  miss-links), testing each node's AABB against all 128 rays with a dozen
+  VPU ops and descending if ANY ray hits — chunk-collective culling;
+- **leaves are clusters of 8-triangle tiles in VMEM**: a leaf visit loads
+  (8, 16) triangle rows with one vector load and tests 8 triangles x 128
+  rays per VPU op (triangles on sublanes, rays on lanes — full utilization);
+- triangle rows carry the Woop transform + material id, so shading data is
+  winner-selected in-kernel like the small-scene path. The geometric normal
+  is NOT stored: the Woop inverse's third row is (e1xe2)/|e1xe2|^2, so
+  n = w2 * sqrt(nr2) (exactly the reference's flat normal, Triangle.hpp:50-56).
+- spheres are never clustered — scenes have a handful and the kernel brute
+  -tests them per bundle (Sphere.hpp:26-48 math, like the small-scene path).
+
+Built from the same flattened BVH used by the wavefront path (bvh.py /
+native builder), with prims permuted into leaf order.
+"""
+
+import numpy as np
+
+# SMEM node-table budget: rows are 512 B strided; keep under ~0.93 MB.
+MAX_NODE_ROWS = 1860  # 8 nodes/row -> 14,880 nodes
+NODES_PER_ROW = 8
+NODE_COLS = 16  # [min3, max3, miss, n_tiles, tile_base, pad...]
+TILE = 8  # triangles per cluster tile (sublane dimension)
+CH_SUB = 8  # sublane rowgroups per (8, 128) ray chunk
+
+
+class ClusterTables:
+    """Host-side numpy tables; scene.compile() stores them on the pack."""
+
+    def __init__(self, nodes, tris, uv, n_nodes, n_tiles, textured):
+        self.nodes = nodes  # (R, 128) f32 SMEM layout
+        self.tris = tris  # (8*n_tiles, 16) f32 VMEM tiles
+        self.uv = uv  # (8*n_tiles, 8) f32 or (8,8) dummy
+        self.n_nodes = n_nodes
+        self.n_tiles = n_tiles
+        self.textured = textured
+
+
+def pick_leaf_size(n_tris: int) -> int:
+    """Smallest leaf size whose estimated node count fits the SMEM budget."""
+    for leaf in (8, 16, 32, 64, 128):
+        # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves ~60-100% full
+        if 2 * (2 * n_tris // leaf + 1) <= NODES_PER_ROW * MAX_NODE_ROWS:
+            return leaf
+    raise ValueError(f"scene too large for cluster tables: {n_tris} tris")
+
+
+def build_cluster_tables(
+    flat, t_pad, tri_kern, tri_shade, any_textured
+) -> ClusterTables:
+    """flat: FlatBVH (node_min/max/miss/leaf_start/leaf_count, prim_ids with
+    sphere ids >= t_pad); tri_kern: (16, T) kernel columns (w9, c3, nr2,
+    valid); tri_shade: (T, 11) (n3, uv6, mat, emissive)."""
+    node_min = np.asarray(flat.node_min, np.float32)
+    node_max = np.asarray(flat.node_max, np.float32)
+    miss = np.asarray(flat.node_miss, np.int64)
+    leaf_start = np.asarray(flat.leaf_start, np.int64)
+    leaf_count = np.asarray(flat.leaf_count, np.int64)
+    prim_ids = np.asarray(flat.prim_ids, np.int64)
+    n_nodes = node_min.shape[0]
+    if n_nodes > NODES_PER_ROW * MAX_NODE_ROWS:
+        raise ValueError(f"{n_nodes} BVH nodes exceed the SMEM node budget")
+
+    tk = np.asarray(tri_kern, np.float32)  # (16, T)
+    ts = np.asarray(tri_shade, np.float32)  # (T, 11)
+
+    tri_rows = []
+    uv_rows = []
+    tile_base = np.zeros(n_nodes, np.float32)
+    n_tiles_of = np.zeros(n_nodes, np.float32)
+    cursor = 0
+    for n in range(n_nodes):
+        if leaf_start[n] < 0:
+            continue
+        ids = prim_ids[leaf_start[n] : leaf_start[n] + leaf_count[n]]
+        ids = ids[ids < t_pad]  # spheres are brute-tested separately
+        if ids.size == 0:
+            continue
+        k = -(-ids.size // TILE)
+        tile_base[n] = cursor
+        n_tiles_of[n] = k
+        for t in range(k):
+            sub = ids[t * TILE : (t + 1) * TILE]
+            rows = np.zeros((TILE, 16), np.float32)
+            uvr = np.zeros((TILE, 8), np.float32)
+            m = sub.size
+            rows[:m, 0:13] = tk[0:13, sub].T  # w9, c3, nr2
+            rows[:m, 13] = tk[13, sub]  # valid
+            rows[:m, 14] = ts[sub, 9]  # mat id
+            rows[:m, 15] = ts[sub, 10]  # emissive
+            uvr[:m, 0:6] = ts[sub, 3:9]
+            tri_rows.append(rows)
+            uv_rows.append(uvr)
+        cursor += k
+
+    n_tiles = cursor
+    if n_tiles == 0:
+        tris = np.zeros((TILE, 16), np.float32)
+        uv = np.zeros((TILE, 8), np.float32)
+        n_tiles = 1
+    else:
+        tris = np.concatenate(tri_rows, axis=0)
+        uv = (
+            np.concatenate(uv_rows, axis=0)
+            if any_textured
+            else np.zeros((TILE, 8), np.float32)
+        )
+
+    # Pack nodes 8-per-row: node n -> row n//8, col (n%8)*16 + k.
+    rows = -(-n_nodes // NODES_PER_ROW)
+    nodes = np.zeros((rows, NODES_PER_ROW * NODE_COLS), np.float32)
+    flatn = nodes.reshape(rows * NODES_PER_ROW, NODE_COLS)
+    flatn[:n_nodes, 0:3] = node_min
+    flatn[:n_nodes, 3:6] = node_max
+    flatn[:n_nodes, 6] = miss.astype(np.float32)
+    flatn[:n_nodes, 7] = n_tiles_of
+    flatn[:n_nodes, 8] = tile_base
+    return ClusterTables(nodes, tris, uv, n_nodes, n_tiles, any_textured)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side query (used inside the megakernel; (1, 128) ray bundles)
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+from mcpt_tpu.constants import EPSILON, T_MAX
+
+# res_ref field rows
+R_T, R_N0, R_N1, R_N2, R_UVX, R_UVY, R_MAT, R_EM, R_SPH = range(9)
+N_RES = 9
+
+
+def _sph_t_bundle(sph_ref, s, o, d, a_ok, a_safe):
+    """Sphere quadratic on a (1,128) bundle (global.hpp:20-35 q-form)."""
+    o0, o1, o2 = o
+    d0, d1, d2 = d
+    cx = sph_ref[s, 0]
+    cy = sph_ref[s, 1]
+    cz = sph_ref[s, 2]
+    r = sph_ref[s, 3]
+    l0 = o0 - cx
+    l1 = o1 - cy
+    l2 = o2 - cz
+    bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
+    cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+    disc = bq * bq - 4.0 * a_safe * cq
+    ok = (disc >= 0.0) & a_ok & (r > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
+    qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+    x0 = q / a_safe
+    x1 = cq / qs
+    lo = jnp.minimum(x0, x1)
+    hi = jnp.maximum(x0, x1)
+    t = jnp.where(lo < 0.0, hi, lo)
+    ok &= t >= 0.0
+    return jnp.where(ok, t, T_MAX)
+
+
+def cluster_query_chunk(
+    cn_ref,
+    ct_ref,
+    cuv_ref,
+    sph_ref,
+    res_ref,
+    o,
+    d,
+    *,
+    n_sph,
+    occlusion,
+    textured,
+    dist=None,
+):
+    """Nearest hit (or occlusion t) of one 1024-ray chunk against the
+    clustered BVH + brute spheres. Results land in res_ref[field, :, :].
+
+    The scalar core chases the threaded miss-links ONCE per (8, 128) chunk;
+    each node's AABB is slab-tested against all 1024 rays in a dozen full
+    VPU ops (Bounds3.hpp:95-108 semantics incl. the running-t cull). The
+    single vector->scalar sync per node returns an 8-bit mask of which
+    sublane rowgroups hit, so leaf tiles (8 triangles x 128 rays, full VPU
+    utilization) run only for rowgroups that actually reached the leaf.
+    occlusion=True tracks only the nearest t and abandons the walk once
+    every ray is blocked closer than its light sample `dist`.
+    """
+    o0, o1, o2 = o
+    d0, d1, d2 = d
+    dinv0 = 1.0 / d0
+    dinv1 = 1.0 / d1
+    dinv2 = 1.0 / d2
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0)
+    # 2^rg weights, built from iota (pallas kernels may not capture
+    # array-literal constants)
+    rg_pow = jnp.exp2(
+        jax.lax.broadcasted_iota(jnp.int32, (CH_SUB, 1), 0).astype(jnp.float32)
+    )
+
+    # ---- brute spheres seed the accumulators (and the t-cull)
+    a = d0 * d0 + d1 * d1 + d2 * d2
+    a_ok = a > 1e-12
+    a_safe = jnp.maximum(a, 1e-12)
+    t0 = jnp.full((CH_SUB, 128), T_MAX, jnp.float32)
+    if occlusion:
+
+        def sphb(s, tb):
+            return jnp.minimum(tb, _sph_t_bundle(sph_ref, s, o, d, a_ok, a_safe))
+
+        res_ref[R_T] = lax.fori_loop(0, n_sph, sphb, t0)
+    else:
+        zero = jnp.zeros((CH_SUB, 128), jnp.float32)
+
+        def sphb(s, acc):
+            tb, sm, se, sx, sy, sz, sf = acc
+            t_c = _sph_t_bundle(sph_ref, s, o, d, a_ok, a_safe)
+            bt = t_c < tb
+            return (
+                jnp.where(bt, t_c, tb),
+                jnp.where(bt, sph_ref[s, 4], sm),
+                jnp.where(bt, sph_ref[s, 5], se),
+                jnp.where(bt, sph_ref[s, 0], sx),
+                jnp.where(bt, sph_ref[s, 1], sy),
+                jnp.where(bt, sph_ref[s, 2], sz),
+                jnp.where(bt, 1.0, sf),
+            )
+
+        tb, sm, se, sx, sy, sz, sf = lax.fori_loop(
+            0, n_sph, sphb, (t0,) + (zero,) * 6
+        )
+        res_ref[R_T] = tb
+        res_ref[R_MAT] = sm
+        res_ref[R_EM] = se
+        # sphere centers parked in the normal slots; finalized by the caller
+        res_ref[R_N0] = sx
+        res_ref[R_N1] = sy
+        res_ref[R_N2] = sz
+        res_ref[R_SPH] = sf
+        res_ref[R_UVX] = zero
+        res_ref[R_UVY] = zero
+
+    def leaf_rowgroup(rg, n_tiles, tbase):
+        """Test this leaf's tiles against rowgroup rg (128 rays)."""
+        ro0 = jax.lax.slice_in_dim(o0, rg, rg + 1, axis=0)
+        ro1 = jax.lax.slice_in_dim(o1, rg, rg + 1, axis=0)
+        ro2 = jax.lax.slice_in_dim(o2, rg, rg + 1, axis=0)
+        rd0 = jax.lax.slice_in_dim(d0, rg, rg + 1, axis=0)
+        rd1 = jax.lax.slice_in_dim(d1, rg, rg + 1, axis=0)
+        rd2 = jax.lax.slice_in_dim(d2, rg, rg + 1, axis=0)
+
+        def tile_body(t, _):
+            blk = ct_ref[pl.ds((tbase + t) * TILE, TILE), :]  # (8,16)
+            dp2 = rd0 * blk[:, 6:7] + rd1 * blk[:, 7:8] + rd2 * blk[:, 8:9]
+            op2 = (
+                ro0 * blk[:, 6:7]
+                + ro1 * blk[:, 7:8]
+                + ro2 * blk[:, 8:9]
+                - blk[:, 11:12]
+            )
+            nr2 = blk[:, 12:13]
+            det = -(dp2 * nr2)
+            okd = jnp.abs(det) >= EPSILON
+            t_hit = op2 * nr2 / jnp.where(okd, det, 1.0)
+            dp0 = rd0 * blk[:, 0:1] + rd1 * blk[:, 1:2] + rd2 * blk[:, 2:3]
+            op0 = (
+                ro0 * blk[:, 0:1]
+                + ro1 * blk[:, 1:2]
+                + ro2 * blk[:, 2:3]
+                - blk[:, 9:10]
+            )
+            u = op0 + t_hit * dp0
+            dp1 = rd0 * blk[:, 3:4] + rd1 * blk[:, 4:5] + rd2 * blk[:, 5:6]
+            op1 = (
+                ro0 * blk[:, 3:4]
+                + ro1 * blk[:, 4:5]
+                + ro2 * blk[:, 5:6]
+                - blk[:, 10:11]
+            )
+            v = op1 + t_hit * dp1
+            ok = (
+                okd
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t_hit >= 0.0)
+                & (blk[:, 13:14] > 0.5)
+            )
+            t_cand = jnp.where(ok, t_hit, T_MAX)  # (8,128): tris x rays
+            tmin8 = jnp.min(t_cand, axis=0, keepdims=True)
+            tb = res_ref[R_T, rg : rg + 1, :]
+            better = tmin8 < tb
+            if occlusion:
+                res_ref[R_T, rg : rg + 1, :] = jnp.where(better, tmin8, tb)
+                return 0
+            is_min = t_cand == tmin8
+            pick = jnp.min(
+                jnp.where(is_min, subl, jnp.int32(TILE)), axis=0, keepdims=True
+            )
+            sel = (subl == pick).astype(jnp.float32)
+
+            def pick_col(col):
+                return jnp.sum(sel * col, axis=0, keepdims=True)
+
+            s_nr = jnp.sqrt(jnp.maximum(nr2, 0.0))
+            res_ref[R_T, rg : rg + 1, :] = jnp.where(better, tmin8, tb)
+
+            def upd(k, val):
+                cur = res_ref[k, rg : rg + 1, :]
+                res_ref[k, rg : rg + 1, :] = jnp.where(better, val, cur)
+
+            # flat normal = Woop row 2 x |e1xe2| (Triangle.hpp:50-56)
+            upd(R_N0, pick_col(blk[:, 6:7] * s_nr))
+            upd(R_N1, pick_col(blk[:, 7:8] * s_nr))
+            upd(R_N2, pick_col(blk[:, 8:9] * s_nr))
+            upd(R_MAT, pick_col(jnp.broadcast_to(blk[:, 14:15], (TILE, 128))))
+            upd(R_EM, pick_col(jnp.broadcast_to(blk[:, 15:16], (TILE, 128))))
+            upd(R_SPH, jnp.zeros((1, 128), jnp.float32))
+            if textured:
+                uvb = cuv_ref[pl.ds((tbase + t) * TILE, TILE), :]
+                u_s = jnp.sum(sel * u, axis=0, keepdims=True)
+                v_s = jnp.sum(sel * v, axis=0, keepdims=True)
+                w_s = 1.0 - u_s - v_s
+                uvx = (
+                    w_s * pick_col(jnp.broadcast_to(uvb[:, 0:1], (TILE, 128)))
+                    + u_s * pick_col(jnp.broadcast_to(uvb[:, 2:3], (TILE, 128)))
+                    + v_s * pick_col(jnp.broadcast_to(uvb[:, 4:5], (TILE, 128)))
+                )
+                uvy = (
+                    w_s * pick_col(jnp.broadcast_to(uvb[:, 1:2], (TILE, 128)))
+                    + u_s * pick_col(jnp.broadcast_to(uvb[:, 3:4], (TILE, 128)))
+                    + v_s * pick_col(jnp.broadcast_to(uvb[:, 5:6], (TILE, 128)))
+                )
+                upd(R_UVX, uvx)
+                upd(R_UVY, uvy)
+            return 0
+
+        return tile_body
+
+    def cond(n):
+        return n >= 0
+
+    def body(n):
+        row = n >> 3
+        c0 = (n & 7) * NODE_COLS
+        mn0 = cn_ref[row, c0 + 0]
+        mn1 = cn_ref[row, c0 + 1]
+        mn2 = cn_ref[row, c0 + 2]
+        mx0 = cn_ref[row, c0 + 3]
+        mx1 = cn_ref[row, c0 + 4]
+        mx2 = cn_ref[row, c0 + 5]
+        miss = cn_ref[row, c0 + 6].astype(jnp.int32)
+        n_tiles = cn_ref[row, c0 + 7].astype(jnp.int32)
+        tbase = cn_ref[row, c0 + 8].astype(jnp.int32)
+
+        va0 = (mn0 - o0) * dinv0
+        vb0 = (mx0 - o0) * dinv0
+        va1 = (mn1 - o1) * dinv1
+        vb1 = (mx1 - o1) * dinv1
+        va2 = (mn2 - o2) * dinv2
+        vb2 = (mx2 - o2) * dinv2
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(va0, vb0), jnp.minimum(va1, vb1)),
+            jnp.minimum(va2, vb2),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(va0, vb0), jnp.maximum(va1, vb1)),
+            jnp.maximum(va2, vb2),
+        )
+        tb = res_ref[R_T]
+        hit = (tmin - EPSILON <= tmax) & (tmax >= -EPSILON) & (
+            tmin - EPSILON <= tb
+        )
+        # ONE vector->scalar sync: an 8-bit mask of rowgroups with any hit
+        rg_any = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+        mask = jnp.sum(rg_any * rg_pow).astype(jnp.int32)
+        any_hit = mask > 0
+        is_leaf = n_tiles > 0
+
+        @pl.when(any_hit & is_leaf)
+        def _():
+            for rg in range(CH_SUB):
+
+                @pl.when(((mask >> rg) & 1) > 0)
+                def _():
+                    lax.fori_loop(
+                        0, n_tiles, leaf_rowgroup(rg, n_tiles, tbase), 0
+                    )
+
+        nxt = jnp.where(any_hit & (n_tiles == 0), n + 1, miss)
+        if occlusion and dist is not None:
+            # abandon once every ray is blocked closer than its light
+            # sample; t only changes at leaves, so check there only.
+            def _check(nxt0):
+                tb2 = res_ref[R_T]
+                still = jnp.max((tb2 >= dist - EPSILON).astype(jnp.float32))
+                return jnp.where(still == 0.0, jnp.int32(-1), nxt0)
+
+            nxt = lax.cond(any_hit & is_leaf, _check, lambda x: x, nxt)
+        return nxt
+
+    lax.while_loop(cond, body, jnp.int32(0))

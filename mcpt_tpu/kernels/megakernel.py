@@ -55,6 +55,19 @@ from mcpt_tpu.constants import (
     T_MAX,
     WAVELEN_UM,
 )
+from mcpt_tpu.kernels.cluster import (
+    N_RES,
+    R_EM,
+    R_MAT,
+    R_N0,
+    R_N1,
+    R_N2,
+    R_SPH,
+    R_T,
+    R_UVX,
+    R_UVY,
+    cluster_query_chunk,
+)
 
 CH_ROWS = 8  # ray rows per chunk: one (8, 128) register tile
 LANE = 128
@@ -154,7 +167,7 @@ def _reflect(wo, n):
 # ---------------------------------------------------------------------------
 
 
-def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion):
+def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=True):
     """Brute-force nearest hit of one ray tile against every primitive.
 
     Returns t only (occlusion=True) or the fused surface record
@@ -162,6 +175,8 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion):
     accumulated *inside* the winner select, so no gather ever happens.
     Arithmetic identical to kernels/intersect_pallas.py `_tri_candidate` /
     `_sph_candidate` (reference Triangle.hpp:222-252, global.hpp:20-35).
+    textured=False (no material in the scene samples uv) skips the
+    barycentric texcoord interpolation and its two winner accumulators.
     """
     o0, o1, o2 = o
     d0, d1, d2 = d
@@ -250,18 +265,21 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion):
         (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
         t_cand, u, v = tri_t(i)
         better = t_cand < t_best
-        w0 = 1.0 - u - v
-        # barycentric texcoord interp (Triangle.hpp:245-249) folded into the
-        # winner select: cols 17..22 are t0,t1,t2 (x,y interleaved).
-        uvx_c = w0 * tri_ref[i, 17] + u * tri_ref[i, 19] + v * tri_ref[i, 21]
-        uvy_c = w0 * tri_ref[i, 18] + u * tri_ref[i, 20] + v * tri_ref[i, 22]
+        if textured:
+            w0 = 1.0 - u - v
+            # barycentric texcoord interp (Triangle.hpp:245-249) folded into
+            # the winner select: cols 17..22 are t0,t1,t2 (x,y interleaved).
+            uvx_c = w0 * tri_ref[i, 17] + u * tri_ref[i, 19] + v * tri_ref[i, 21]
+            uvy_c = w0 * tri_ref[i, 18] + u * tri_ref[i, 20] + v * tri_ref[i, 22]
+            uvx = jnp.where(better, uvx_c, uvx)
+            uvy = jnp.where(better, uvy_c, uvy)
         return (
             jnp.where(better, t_cand, t_best),
             jnp.where(better, tri_ref[i, 14], n0),
             jnp.where(better, tri_ref[i, 15], n1),
             jnp.where(better, tri_ref[i, 16], n2),
-            jnp.where(better, uvx_c, uvx),
-            jnp.where(better, uvy_c, uvy),
+            uvx,
+            uvy,
             jnp.where(better, tri_ref[i, 23], mat),
             jnp.where(better, tri_ref[i, 24], em),
             jnp.where(better, 0.0, is_sph),
@@ -274,13 +292,16 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion):
         (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
         t_cand = sph_t(s)
         better = t_cand < t_best
+        if textured:
+            uvx = jnp.where(better, 0.0, uvx)
+            uvy = jnp.where(better, 0.0, uvy)
         return (
             jnp.where(better, t_cand, t_best),
             jnp.where(better, 0.0, n0),
             jnp.where(better, 0.0, n1),
             jnp.where(better, 0.0, n2),
-            jnp.where(better, 0.0, uvx),
-            jnp.where(better, 0.0, uvy),
+            uvx,
+            uvy,
             jnp.where(better, sph_ref[s, 4], mat),
             jnp.where(better, sph_ref[s, 5], em),
             jnp.where(better, 1.0, is_sph),
@@ -673,7 +694,7 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     # the whole shadow fan in ONE shared-origin primitive loop, then shade.
     p_dl = _add(p, _scale(n, jnp.float32(EPSILON)))
     inner = _dot(wo, n) < 0.0
-    refl = _reflectance(m, uv)
+    refl = _reflectance(m, uv) if ctx["textured"] else m["refl"]
     x = lam  # shape/dtype template
     l_dir_raw = jnp.zeros_like(x)
     if ctx["n_emitters"] > 0:
@@ -732,13 +753,8 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
             samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
 
         if ctx["enable_shadow"]:
-            t_sh = _occlude_shared_origin(
-                ctx["tri_ref"],
-                ctx["sph_ref"],
-                ctx["n_tris"],
-                ctx["n_sph"],
-                p_dl,
-                [s_[0] for s_ in samples],
+            t_sh = ctx["occlude_fan"](
+                p_dl, [s_[0] for s_ in samples], [s_[1] for s_ in samples]
             )
         for si in range(ctx["n_dir_sample"]):
             ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
@@ -799,6 +815,91 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     }
 
 
+
+
+def _make_intersect_fns(
+    tri_ref,
+    sph_ref,
+    cn_ref,
+    ct_ref,
+    cuv_ref,
+    res_ref,
+    n_tris,
+    n_sph,
+    clustered,
+    any_textured,
+):
+    """(isect(o,d) -> fused hit tuple, occlude_fan(o, ds, dists) -> [t]) on
+    (8,128) chunk tiles: SMEM brute loop for small scenes, clustered-BVH
+    walk (kernels/cluster.py) for big ones. Both produce the same fused
+    surface record, so the rest of the kernel is scene-size agnostic."""
+    if not clustered:
+
+        def isect(o, d):
+            return _intersect_tile(
+                tri_ref, sph_ref, n_tris, n_sph, o, d, False,
+                textured=any_textured,
+            )
+
+        def occlude_fan(o, ds, dists):
+            return _occlude_shared_origin(
+                tri_ref, sph_ref, n_tris, n_sph, o, ds
+            )
+
+        return isect, occlude_fan
+
+    def isect(o, d):
+        cluster_query_chunk(
+            cn_ref,
+            ct_ref,
+            cuv_ref,
+            sph_ref,
+            res_ref,
+            o,
+            d,
+            n_sph=n_sph,
+            occlusion=False,
+            textured=any_textured,
+        )
+        t = res_ref[R_T]
+        happened = t < T_MAX
+        t_eff = jnp.where(happened, t, 0.0)
+        p = (o[0] + d[0] * t_eff, o[1] + d[1] * t_eff, o[2] + d[2] * t_eff)
+        n0 = res_ref[R_N0]
+        n1 = res_ref[R_N1]
+        n2 = res_ref[R_N2]
+        is_sph = res_ref[R_SPH] > 0.5
+        nsph = _normalize((p[0] - n0, p[1] - n1, p[2] - n2))
+        n = (
+            jnp.where(is_sph, nsph[0], n0),
+            jnp.where(is_sph, nsph[1], n1),
+            jnp.where(is_sph, nsph[2], n2),
+        )
+        uv = (res_ref[R_UVX], res_ref[R_UVY])
+        return t, happened, p, n, uv, res_ref[R_MAT], res_ref[R_EM] > 0.5
+
+    def occlude_fan(o, ds, dists):
+        out = []
+        for si in range(len(ds)):
+            cluster_query_chunk(
+                cn_ref,
+                ct_ref,
+                cuv_ref,
+                sph_ref,
+                res_ref,
+                o,
+                ds[si],
+                n_sph=n_sph,
+                occlusion=True,
+                textured=False,
+                dist=dists[si],
+            )
+            out.append(res_ref[R_T])  # ref read = copy before reuse
+        return out
+
+    return isect, occlude_fan
+
+
 def _mega_kernel(
     scal_ref,  # (1, 8) SMEM int32: [seed, lane_offset, spp, ...]
     tri_ref,  # (T8, 25) SMEM f32 (layout in mega_tables)
@@ -808,8 +909,12 @@ def _mega_kernel(
     emeta_ref,  # (E, 3) SMEM f32: mesh ordinal, intra_cum, mesh_area
     lcum_ref,  # (L, 1) SMEM f32 cumulative mesh areas
     par_ref,  # (1, 8) SMEM f32: [bg_r, bg_g, bg_b, rr, inv_rr, total_area]
+    cn_ref,  # (R, 128) SMEM cluster-BVH node rows (dummy when not clustered)
+    ct_ref,  # (8*NT, 16) VMEM cluster triangle tiles
+    cuv_ref,  # (8*NT, 8) VMEM cluster uv tiles
     out_ref,  # (2, R, 128) VMEM f32: [mean radiance, ray count]
     rec_ref,  # scratch (max_bounces, 4, 8, 128) VMEM records
+    res_ref,  # scratch (N_RES, 8, 128) VMEM cluster-query results
     *,
     n_chunks,
     n_tris,
@@ -820,6 +925,8 @@ def _mega_kernel(
     max_bounces,
     n_dir_sample,
     enable_shadow,
+    any_textured,
+    clustered,
     cam,  # dict of static camera floats
 ):
     seed = scal_ref[0, 0].astype(jnp.uint32)
@@ -873,6 +980,7 @@ def _mega_kernel(
             "n_lmesh": n_lmesh,
             "n_dir_sample": n_dir_sample,
             "enable_shadow": enable_shadow,
+            "textured": any_textured,
             "chan": chan,
             "lam": lam,
             "bg": bg,
@@ -880,6 +988,11 @@ def _mega_kernel(
             "inv_rr": inv_rr,
             "total_area": total_area,
         }
+        _isect, _ofan = _make_intersect_fns(
+            tri_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
+            n_tris, n_sph, clustered, any_textured,
+        )
+        ctx["occlude_fan"] = _ofan
 
         def spp_body(s, acc):
             rad_acc, ray_acc = acc
@@ -916,7 +1029,7 @@ def _mega_kernel(
                 dirs = (x, y, one)
             d = rot(_normalize(dirs))
 
-            hit0 = _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, False)
+            hit0 = _isect(o, d)
             # Carried masks are f32 (0/1): Mosaic fails to legalize loop
             # yields of i1 vectors.
             hit0 = hit0[:1] + (hit0[1].astype(jnp.float32),) + hit0[2:6] + (
@@ -964,9 +1077,7 @@ def _mega_kernel(
                 is_b = V["is_b"]
                 at_vertex = alive & happened & ~is_b
 
-                nxt = _intersect_tile(
-                    tri_ref, sph_ref, n_tris, n_sph, V["p_new"], V["wi"], False
-                )
+                nxt = _isect(V["p_new"], V["wi"])
                 nxt_happened = nxt[1]
                 nxt_emissive = nxt[6]
                 cont = at_vertex & ~V["rr_kill"] & nxt_happened & ~nxt_emissive
@@ -1044,8 +1155,12 @@ def _mega_kernel_regen(
     emeta_ref,
     lcum_ref,
     par_ref,
+    cn_ref,
+    ct_ref,
+    cuv_ref,
     out_ref,
     rec_ref,
+    res_ref,
     *,
     n_chunks,
     n_tris,
@@ -1056,6 +1171,8 @@ def _mega_kernel_regen(
     max_bounces,
     n_dir_sample,
     enable_shadow,
+    any_textured,
+    clustered,
     cam,
 ):
     """Path-regeneration variant: each lane runs its own sample stream.
@@ -1134,6 +1251,7 @@ def _mega_kernel_regen(
             "n_lmesh": n_lmesh,
             "n_dir_sample": n_dir_sample,
             "enable_shadow": enable_shadow,
+            "textured": any_textured,
             "chan": chan,
             "lam": lam,
             "bg": bg,
@@ -1141,6 +1259,11 @@ def _mega_kernel_regen(
             "inv_rr": inv_rr,
             "total_area": total_area,
         }
+        _isect, _ofan = _make_intersect_fns(
+            tri_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
+            n_tris, n_sph, clustered, any_textured,
+        )
+        ctx["occlude_fan"] = _ofan
 
         def cam_ray(s_vec):
             """Camera ray of per-lane sample index s_vec (Renderer.cpp:44-76);
@@ -1197,7 +1320,7 @@ def _mega_kernel_regen(
         izero = jnp.zeros((CH_ROWS, LANE), jnp.int32)
         fzero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
         o0, d0 = cam_ray(izero)
-        h = _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o0, d0, False)
+        h = _isect(o0, d0)
         hit0 = h[:1] + (h[1].astype(jnp.float32),) + h[2:6] + (
             h[6].astype(jnp.float32),
         )
@@ -1322,7 +1445,7 @@ def _mega_kernel_regen(
             )
 
             # 5. one shared intersect: bounce rays and fresh camera rays
-            h = _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, False)
+            h = _isect(o, d)
             hit = h[:1] + (h[1].astype(jnp.float32),) + h[2:6] + (
                 h[6].astype(jnp.float32),
             )
@@ -1347,7 +1470,17 @@ def _mega_kernel_regen(
 
 
 def mega_supported(pack) -> bool:
-    return (not pack.use_env) and pack.tri_sc.shape[0] <= MEGA_MAX_TRIS
+    """Small scenes brute-force from SMEM; big ones use the clustered BVH
+    (built by scene.compile above 1024 triangles). Env maps are the one
+    unsupported feature (no per-lane texture gather on the VPU)."""
+    small = pack.tri_sc.shape[0] <= MEGA_MAX_TRIS
+    return (not pack.use_env) and (small or pack.n_cl_nodes > 0)
+
+
+def _block_lanes(pack) -> int:
+    """Lanes per pallas_call: clustered scenes halve the block so the
+    cluster tables + output planes stay inside the VMEM budget."""
+    return MEGA_LANES // 2 if pack.n_cl_nodes > 0 else MEGA_LANES
 
 
 def mega_tables(pack):
@@ -1385,7 +1518,16 @@ def mega_tables(pack):
             jnp.float32(0.0),
         ]
     )[None, :]
-    return tri, sph, pack.mat_fat, pack.emt_fat, emeta, lcum, par
+    if pack.n_cl_nodes > 0:
+        cn, ct, cuv = pack.cl_nodes, pack.cl_tris, pack.cl_uv
+        # the SMEM brute-force table is unused on the clustered path and
+        # would blow the 1 MB SMEM budget — ship a dummy
+        tri = jnp.zeros((8, 25), jnp.float32)
+    else:
+        cn = jnp.zeros((1, 128), jnp.float32)
+        ct = jnp.zeros((8, 16), jnp.float32)
+        cuv = jnp.zeros((8, 8), jnp.float32)
+    return tri, sph, pack.mat_fat, pack.emt_fat, emeta, lcum, par, cn, ct, cuv
 
 
 def _cam_static(camera):
@@ -1407,7 +1549,10 @@ def _cam_static(camera):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "n_lanes", "max_bounces", "interpret", "regen"),
+    static_argnames=(
+        "camera", "n_lanes", "max_bounces", "interpret", "regen",
+        "any_textured",
+    ),
 )
 def trace_mega_block(
     pack,
@@ -1419,6 +1564,7 @@ def trace_mega_block(
     max_bounces=8,
     interpret=False,
     regen=True,
+    any_textured=True,
 ):
     """One kernel dispatch over `n_lanes` lanes starting at `lane_offset`.
 
@@ -1427,7 +1573,8 @@ def trace_mega_block(
     kernel (fastest); regen=False the lockstep spp × depth kernel.
     """
     assert n_lanes % CHUNK == 0, n_lanes
-    tri, sph, mat, emt, emeta, lcum, par = mega_tables(pack)
+    tri, sph, mat, emt, emeta, lcum, par, cn, ct, cuv = mega_tables(pack)
+    clustered = pack.n_cl_nodes > 0
     rows = n_lanes // LANE
     scal = jnp.concatenate(
         [
@@ -1448,18 +1595,27 @@ def trace_mega_block(
         max_bounces=max_bounces,
         n_dir_sample=pack.n_dir_sample if pack.n_emitters else 0,
         enable_shadow=pack.enable_shadow,
+        any_textured=any_textured,
+        clustered=clustered,
         cam=_cam_static(camera),
     )
+    from mcpt_tpu.kernels.cluster import N_RES as _N_RES
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((2, rows, LANE), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9
+        + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((max_bounces, 4, CH_ROWS, LANE), jnp.float32)
+            pltpu.VMEM((max_bounces, 4, CH_ROWS, LANE), jnp.float32),
+            pltpu.VMEM((_N_RES, CH_ROWS, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(scal, tri, sph, mat, emt, emeta, lcum, par)
+    )(scal, tri, sph, mat, emt, emeta, lcum, par, cn, ct, cuv)
     flat = out.reshape(2, n_lanes)
     return flat[0], flat[1]
 
@@ -1501,6 +1657,7 @@ def render_mega_sharded(
     w, h = camera.width, camera.height
     lanes = w * h * 3
     per_dev = -(-lanes // (nd * CHUNK)) * CHUNK
+    any_t = bool(np.asarray(pack.mat_textured).any())
     mesh = Mesh(np.array(devices), ("shard",))
     offsets = jnp.arange(nd, dtype=jnp.int32) * per_dev
     seed_arr = jnp.asarray(seed, jnp.int32)
@@ -1521,7 +1678,7 @@ def render_mega_sharded(
         rads, rays = [], []
         done = 0
         while done < per_dev:
-            n = min(MEGA_LANES, per_dev - done)
+            n = min(_block_lanes(pack), per_dev - done)
             r, ry = trace_mega_block(
                 pack_l,
                 camera,
@@ -1532,6 +1689,7 @@ def render_mega_sharded(
                 max_bounces,
                 interpret,
                 regen,
+                any_t,
             )
             rads.append(r)
             rays.append(ry)
@@ -1573,18 +1731,21 @@ def render_mega(
     lanes = w * h * 3
     # One block shape only: images larger than a MEGA block round up to whole
     # MEGA blocks (≤1 block of waste ≈ 1-2%) so the kernel compiles once.
-    if lanes > MEGA_LANES:
-        lanes_pad = -(-lanes // MEGA_LANES) * MEGA_LANES
+    blk_lanes = _block_lanes(pack)
+    if lanes > blk_lanes:
+        lanes_pad = -(-lanes // blk_lanes) * blk_lanes
     else:
         lanes_pad = -(-lanes // CHUNK) * CHUNK
+    any_t = bool(np.asarray(pack.mat_textured).any())
     t0 = time.monotonic()
     rad = np.zeros(lanes_pad, np.float32)
     total_rays = 0.0
     off = 0
     while off < lanes_pad:
-        n = min(MEGA_LANES, lanes_pad - off)
+        n = min(blk_lanes, lanes_pad - off)
         r, rays = trace_mega_block(
-            pack, camera, seed, off, spp, n, max_bounces, interpret, regen
+            pack, camera, seed, off, spp, n, max_bounces, interpret, regen,
+            any_t,
         )
         rad[off : off + n] = np.asarray(r)
         # Pad lanes trace real (wrapped-pixel) paths; count image lanes only.

@@ -196,6 +196,12 @@ class ScenePack:
     bvh_leaf_count: jnp.ndarray = None
     bvh_prims: jnp.ndarray = None
     bvh_leaf_size: int = struct.field(pytree_node=False, default=4)
+    # clustered-BVH megakernel tables (kernels/cluster.py); None for small
+    # scenes that brute-force from SMEM
+    cl_nodes: jnp.ndarray = None  # (R, 128) SMEM node rows
+    cl_tris: jnp.ndarray = None  # (8*n_tiles, 16) VMEM triangle tiles
+    cl_uv: jnp.ndarray = None  # (8*n_tiles, 8) VMEM uv tiles (dummy if untextured)
+    n_cl_nodes: int = struct.field(pytree_node=False, default=0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -494,8 +500,42 @@ class Scene:
         tri_mt = np.concatenate([v0, e1, e2], axis=1).astype(np.float32)
         sph_geom = np.concatenate([sph_c, sph_r[:, None]], axis=1).astype(np.float32)
 
+        # Clustered-BVH tables for the big-scene megakernel (kernels/cluster
+        # .py): built only when the triangle table exceeds the SMEM
+        # brute-force budget; a SECOND, wider-leaf BVH build keeps the node
+        # table inside the 1 MB SMEM.
+        cl_nodes = cl_tris = cl_uv = None
+        n_cl_nodes = 0
+        cl_textured = False
+        if n_tris > 1024:
+            from mcpt_tpu.kernels.cluster import (
+                build_cluster_tables,
+                pick_leaf_size,
+            )
+
+            cleaf = pick_leaf_size(n_tris)
+            cflat = bvh_build_native(
+                prim_min, prim_max, leaf_size=cleaf, method=bvh_method
+            )
+            if cflat is None:
+                cflat = build_bvh(
+                    prim_min, prim_max, leaf_size=cleaf, method=bvh_method
+                )
+            cl_textured = bool(np.any(mat_textured))
+            ct = build_cluster_tables(
+                cflat, n_tris, tri_kern, tri_shade, cl_textured
+            )
+            cl_nodes = jnp.asarray(ct.nodes)
+            cl_tris = jnp.asarray(ct.tris)
+            cl_uv = jnp.asarray(ct.uv)
+            n_cl_nodes = ct.n_nodes
+
         rr = np.float32(self.rr_rate)
         return ScenePack(
+            cl_nodes=cl_nodes,
+            cl_tris=cl_tris,
+            cl_uv=cl_uv,
+            n_cl_nodes=n_cl_nodes,
             tri_v0=jnp.asarray(v0),
             tri_e1=jnp.asarray(e1),
             tri_e2=jnp.asarray(e2),

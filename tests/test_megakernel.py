@@ -80,7 +80,7 @@ def test_mega_deterministic(pack, cam):
 
 
 def test_mega_tables_layout(pack):
-    tri, sph, mat, emt, emeta, lcum, par = mega_tables(pack)
+    tri, sph, mat, emt, emeta, lcum, par, cn, ct, cuv = mega_tables(pack)
     assert tri.shape[1] == 25  # 14 geom + 11 shade cols
     assert sph.shape[1] == 6
     assert mat.shape[1] == 13
@@ -124,3 +124,130 @@ def test_mega_sharded_8dev(pack, cam):
     assert np.array_equal(single, sharded)
     # ray accounting excludes pad lanes on both paths → exact agreement
     assert s1["rays"] == s8["rays"]
+
+
+def test_mega_textured_chessboard():
+    """A textured (procedural chessboard) floor exercises the textured=True
+    kernel specialization; means must match the wavefront path."""
+    import dataclasses
+
+    from mcpt_tpu.builtin_scenes import (
+        CORNELL_FLOOR,
+        CORNELL_LIGHT,
+        _mesh,
+        demo_scene,
+    )
+    from mcpt_tpu.materials import Material, MaterialType, make_light_material
+    from mcpt_tpu.scene import Scene
+
+    base = demo_scene()
+    floor_mat = Material(
+        mtype=MaterialType.ROUGH_CONDUCTOR,
+        roughness=0.9,
+        base_reflectance=(0.5, 0.5, 0.5),
+        textured=True,
+        name="chessboard",
+    )
+    sc = Scene(base.camera)
+    sc.add(_mesh(CORNELL_FLOOR, floor_mat, "floor"))
+    sc.add(_mesh(CORNELL_LIGHT, make_light_material(3.9), "light"))
+    pack = sc.compile()
+    cam = dataclasses.replace(base.camera, width=W, height=H)
+
+    img, _ = render_mega(pack, cam, spp=16, seed=0, max_bounces=MB, interpret=True)
+    ref, _ = render_radiance(
+        pack, cam, 32, method="dense", max_bounces=MB, tile_pixels=W * H
+    )
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
+    assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.35
+
+
+def test_cluster_tables_invariants():
+    """Every real triangle appears exactly once across cluster tiles; node
+    rows round-trip; leaf tile ranges stay in bounds (kernels/cluster.py)."""
+    from mcpt_tpu.builtin_scenes import CORNELL_FLOOR, CORNELL_LIGHT, _mesh
+    from mcpt_tpu.camera import Camera
+    from mcpt_tpu.materials import make_light_material, standard_materials
+    from mcpt_tpu.scene import Scene, TriangleMesh
+
+    mats = standard_materials()
+    sc = Scene(Camera())
+    mesh = TriangleMesh.from_obj(
+        "/root/reference/models/low_king.obj",
+        mats["gold_conductor"],
+        translation=(278, 80, 100),
+        zoom=60.0,
+    )
+    sc.add(mesh)
+    sc.add(_mesh(CORNELL_FLOOR, mats["rough_white_conductor"], "walls"))
+    sc.add(_mesh(CORNELL_LIGHT, make_light_material(3.9), "light"))
+    pack = sc.compile()
+    assert pack.n_cl_nodes > 0
+    nodes = np.asarray(pack.cl_nodes).reshape(-1, 16)[: pack.n_cl_nodes]
+    tris = np.asarray(pack.cl_tris)
+    n_tiles = tris.shape[0] // 8
+
+    # valid rows count == real (unpadded) triangle count
+    n_real = int(np.asarray(pack.tri_valid).sum())
+    assert int((tris[:, 13] > 0.5).sum()) == n_real
+
+    # each leaf's [tile_base, tile_base+n_tiles) in bounds; union covers all
+    covered = np.zeros(n_tiles, bool)
+    for n in range(pack.n_cl_nodes):
+        k = int(nodes[n, 7])
+        if k > 0:
+            b = int(nodes[n, 8])
+            assert 0 <= b and b + k <= n_tiles
+            assert not covered[b : b + k].any()  # tiles are exclusive
+            covered[b : b + k] = True
+    assert covered.all()
+
+    # miss links terminate: walking miss pointers from any node reaches -1
+    miss = nodes[:, 6].astype(int)
+    assert (miss < pack.n_cl_nodes).all() and (miss >= -1).all()
+
+    # normals derivable from Woop rows match tri_shade on valid rows
+    w2 = tris[:, 6:9]
+    nr2 = tris[:, 12:13]
+    n_derived = w2 * np.sqrt(np.maximum(nr2, 0.0))
+    lens = np.linalg.norm(n_derived[tris[:, 13] > 0.5], axis=1)
+    assert np.allclose(lens, 1.0, atol=1e-4)
+
+
+def test_mega_clustered_matches_dense(tmp_path):
+    """Mid-size scene (2.4k tris) through the clustered megakernel path vs
+    the dense wavefront path — means agree within Monte-Carlo noise."""
+    import dataclasses
+
+    from mcpt_tpu.builtin_scenes import CORNELL_FLOOR, CORNELL_LIGHT, _mesh
+    from mcpt_tpu.camera import Camera
+    from mcpt_tpu.materials import make_light_material, standard_materials
+    from mcpt_tpu.scene import Scene, TriangleMesh
+
+    mats = standard_materials()
+    cam = Camera(
+        width=W, height=H, fov=40,
+        position=(278, 273, -800), target=(278, 273, 0), up=(0, 1, 0),
+    )
+    sc = Scene(cam)
+    sc.add(
+        TriangleMesh.from_obj(
+            "/root/reference/models/low_king.obj",
+            mats["gold_conductor"],
+            translation=(278, 80, 100),
+            zoom=60.0,
+        )
+    )
+    sc.add(_mesh(CORNELL_FLOOR, mats["rough_white_conductor"], "walls"))
+    sc.add(_mesh(CORNELL_LIGHT, make_light_material(3.9), "light"))
+    pack = sc.compile()
+    assert pack.n_cl_nodes > 0 and mega_supported(pack)
+    img, _ = render_mega(
+        pack, cam, spp=8, seed=0, max_bounces=3, interpret=True
+    )
+    ref, _ = render_radiance(
+        pack, cam, 16, method="dense", max_bounces=3, tile_pixels=W * H
+    )
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.3
