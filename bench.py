@@ -43,6 +43,17 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: the megakernel's Mosaic compile is
+    # minutes-long; cache it across bench invocations (repo-local dir).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never fatal
+        log(f"compilation cache unavailable: {e}")
+
     from mcpt_tpu.builtin_scenes import demo_scene
 
     spp = int(os.environ.get("BENCH_SPP", "64"))

@@ -1360,42 +1360,105 @@ def _mega_kernel_regen(
 
             # 2. vertex processing (skipped state-wise for ended_env lanes)
             proc = active & ~ended_env
-            draw = lambda use: _unit(
-                _murmur(
-                    lane_u * _U(0x9E3779B1)
-                    + s_lane.astype(jnp.uint32) * _U(0x0ED5AD4D)
-                    + d_lane.astype(jnp.uint32) * _U(0x9E3779B9)
-                    + seed * _U(0x01000193)
-                    + _U((use * 0x632BE59B) & 0xFFFFFFFF)
-                )
-            )
-            V = _process_vertex(
-                ctx, draw, d, p, n, uv, mat_id, happened, emissive,
-                d_lane == 0,
-            )
-            at_vertex = proc & happened & ~V["is_b"]
-            survive_raw = at_vertex & ~V["rr_kill"]
-            capped = survive_raw & (d_lane == max_bounces - 1)
-            survive = survive_raw & ~capped
-            tnow = proc & ~survive_raw
-            write_now = tnow | capped
+            # Chunk-coherent fast path: a "vertex" lane is one whose hit
+            # needs shading (proc, hit something non-emissive — emissive
+            # proc hits imply d_lane==0, the eye-emitter case, because a
+            # pending lane hitting an emitter lands in ended_env instead).
+            # Border chunks of the image miss everything every sample and
+            # chunks late in their spp budget often hold only misses /
+            # eye-emitter hits — for those, the whole NEE fan + BSDF +
+            # RR block is skipped; only the leaf values are produced.
+            is_vertex = proc & happened & ~emissive
+            do_vertex = jnp.max(is_vertex.astype(jnp.float32)) > 0.5
+            zf = jnp.zeros_like(has_pend_f)
 
-            # terminal-now leaf: miss → bg; eye-emitter → clamped emission;
-            # RR kill → RAW l_dir (Scene.cpp:129,156); bounce-cap → the v1
-            # fold value clamp15(l_dir) + clamp5(w·0) = clamp15(l_dir).
-            leaf_now = jnp.where(
-                ~happened,
-                V["bg_l"],
-                jnp.where(
-                    V["is_b"],
-                    V["b_leaf"],
+            def _full_vertex(_):
+                draw = lambda use: _unit(
+                    _murmur(
+                        lane_u * _U(0x9E3779B1)
+                        + s_lane.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                        + d_lane.astype(jnp.uint32) * _U(0x9E3779B9)
+                        + seed * _U(0x01000193)
+                        + _U((use * 0x632BE59B) & 0xFFFFFFFF)
+                    )
+                )
+                V = _process_vertex(
+                    ctx, draw, d, p, n, uv, mat_id, happened, emissive,
+                    d_lane == 0,
+                )
+                at_vertex = proc & happened & ~V["is_b"]
+                survive_raw = at_vertex & ~V["rr_kill"]
+                capped = survive_raw & (d_lane == max_bounces - 1)
+                survive = survive_raw & ~capped
+                # terminal-now leaf: miss → bg; eye-emitter → clamped
+                # emission; RR kill → RAW l_dir (Scene.cpp:129,156);
+                # bounce-cap → the v1 fold value clamp15(l_dir) +
+                # clamp5(w·0) = clamp15(l_dir).
+                leaf_now = jnp.where(
+                    ~happened,
+                    V["bg_l"],
                     jnp.where(
-                        capped,
-                        jnp.clip(V["l_dir"], 0.0, CLAMP_DIRECT),
-                        V["l_dir"],
+                        V["is_b"],
+                        V["b_leaf"],
+                        jnp.where(
+                            capped,
+                            jnp.clip(V["l_dir"], 0.0, CLAMP_DIRECT),
+                            V["l_dir"],
+                        ),
                     ),
-                ),
+                )
+                new_pend_leaf = jnp.clip(
+                    V["l_dir"], 0.0, CLAMP_DIRECT
+                ) + jnp.clip(V["env_ind"], 0.0, CLAMP_INDIRECT)
+                return (
+                    jnp.where(proc, V["l_dir"], 0.0),
+                    V["w"],
+                    leaf_now,
+                    survive.astype(jnp.float32),
+                    at_vertex.astype(jnp.float32),
+                    new_pend_leaf,
+                ) + V["p_new"] + V["wi"]
+
+            def _cheap_vertex(_):
+                # No shading needed anywhere in the chunk: proc lanes are
+                # misses (leaf = bg) or eye-emitter hits (leaf = clamped
+                # emission, Scene.cpp:102-107). Only the emission channel
+                # of the material table is gathered.
+                emit = zf
+
+                def mgather(mi, acc):
+                    e = jnp.where(
+                        chan == 0,
+                        ctx["mat_ref"][mi, 7],
+                        jnp.where(
+                            chan == 1,
+                            ctx["mat_ref"][mi, 8],
+                            ctx["mat_ref"][mi, 9],
+                        ),
+                    )
+                    return jnp.where(
+                        mat_id == mi.astype(jnp.float32), e, acc
+                    )
+
+                emit = lax.fori_loop(0, ctx["n_mats"], mgather, emit)
+                won = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
+                b_leaf = jnp.clip(emit * jnp.abs(won), 0.0, 1.0)
+                bg_l = jnp.where(
+                    chan == 0,
+                    bg[0],
+                    jnp.where(chan == 1, bg[1], bg[2]),
+                )
+                leaf_now = jnp.where(~happened, bg_l, b_leaf)
+                return (zf, zf, leaf_now, zf, zf, zf) + o + d
+
+            (l_dir_m, w_t, leaf_now, survive_f, at_vertex_f, new_pend_leaf,
+             pn0, pn1, pn2, wi0, wi1, wi2) = lax.cond(
+                do_vertex, _full_vertex, _cheap_vertex, 0
             )
+            survive = survive_f > 0.5
+            at_vertex = at_vertex_f > 0.5
+            write_now = proc & ~survive
+
             pend_leaf_fin = jnp.where(ended_env, pend_leaf, 0.0)
             pend_term_fin = jnp.where(ended_env, 1.0, 0.0)
 
@@ -1403,7 +1466,6 @@ def _mega_kernel_regen(
             # d_lane-1, a terminal-now record at d_lane (different slots, so
             # one lane can do both in one iteration).
             slot_p = d_lane - 1
-            l_dir_m = jnp.where(proc, V["l_dir"], 0.0)
             for k in range(max_bounces):
                 selp = has_pend & (slot_p == k)
                 seln = write_now & (d_lane == k)
@@ -1411,7 +1473,7 @@ def _mega_kernel_regen(
                     seln, l_dir_m, jnp.where(selp, pend_l, rec_ref[k, 0])
                 )
                 rec_ref[k, 1] = jnp.where(
-                    seln, V["w"], jnp.where(selp, pend_w, rec_ref[k, 1])
+                    seln, w_t, jnp.where(selp, pend_w, rec_ref[k, 1])
                 )
                 rec_ref[k, 2] = jnp.where(
                     seln, leaf_now, jnp.where(selp, pend_leaf_fin, rec_ref[k, 2])
@@ -1427,17 +1489,15 @@ def _mega_kernel_regen(
             s_new = s_lane + done_now.astype(jnp.int32)
             need_spawn = done_now & (s_new < spp)
             oc, dc = cam_ray(s_new)
-            o = _where3(need_spawn, oc, _where3(survive, V["p_new"], o))
-            d = _where3(need_spawn, dc, _where3(survive, V["wi"], d))
+            o = _where3(need_spawn, oc, _where3(survive, (pn0, pn1, pn2), o))
+            d = _where3(need_spawn, dc, _where3(survive, (wi0, wi1, wi2), d))
             d_lane = jnp.where(
                 done_now, 0, jnp.where(survive, d_lane + 1, d_lane)
             )
             has_pend_f = jnp.where(survive, 1.0, 0.0)
             pend_l = l_dir_m
-            pend_w = V["w"]
-            pend_leaf = jnp.clip(V["l_dir"], 0.0, CLAMP_DIRECT) + jnp.clip(
-                V["env_ind"], 0.0, CLAMP_INDIRECT
-            )
+            pend_w = w_t
+            pend_leaf = new_pend_leaf
             rays = (
                 rays
                 + jnp.where(at_vertex, jnp.float32(1 + n_dir_sample), 0.0)
