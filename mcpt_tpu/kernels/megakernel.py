@@ -213,6 +213,8 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=T
         dp1 = d0 * w10 + d1 * w11 + d2 * w12
         op1 = o0 * w10 + o1 * w11 + o2 * w12 - c1
         v = op1 + t_hit * dp1
+        # No `valid`-column check: padding/degenerate rows carry nr2 = 0,
+        # so det = 0 fails the okd test unconditionally.
         ok = (
             okd
             & (u >= 0.0)
@@ -220,7 +222,6 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=T
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t_hit >= 0.0)
-            & (tri_ref[i, 13] > 0.5)
         )
         return jnp.where(ok, t_hit, T_MAX), u, v
 
@@ -328,21 +329,32 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=T
     return t_best, happened, p, n, (uvx, uvy), mat, em > 0.5
 
 
-def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds):
-    """Nearest-hit distances of S rays sharing one origin (the NEE shadow
-    fan: all n_dir_sample shadow rays leave the same ε-offset surface point,
-    Scene.cpp:56-82). One primitive loop computes the origin-dependent
-    terms (o', L, |L|²-r²) ONCE and reuses them for every ray — ~25% fewer
-    VPU ops than S independent occlusion loops."""
+def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds, dists):
+    """Visibility of S shadow rays sharing one origin (the NEE fan: all
+    n_dir_sample shadow rays leave the same ε-offset surface point,
+    Scene.cpp:56-82). Returns a list of bool tiles: True when nothing
+    blocks the ray closer than its light-sample distance.
+
+    Re-expression of the reference's `|t_nearest − dist| < EPSILON` check
+    (Scene.cpp:73-75): the sampled point lies ON the light, so the nearest
+    hit equals dist unless some primitive intersects at t < dist − ε —
+    identical up to measure-zero grazing hits of the light triangle itself.
+    Tracking "any blocker" instead of the nearest t removes the per-(tri,
+    dir) division: every Möller-Trumbore condition is multiplied through by
+    |det| (t = q/det with q = op2·nr2 shared across the fan). Shadow
+    directions are unit by construction (lights.py normalizes), so the
+    sphere quadratic runs with a = 1 — no divisions there either. One
+    primitive loop computes the origin-dependent terms ONCE per tri and
+    reuses them for every ray."""
     o0, o1, o2 = o
     shape = o0.shape
     s_cnt = len(ds)
-    t0 = [jnp.full(shape, T_MAX, jnp.float32) for _ in range(s_cnt)]
-    a_list = [d[0] * d[0] + d[1] * d[1] + d[2] * d[2] for d in ds]
-    a_ok = [a > 1e-12 for a in a_list]
-    a_safe = [jnp.maximum(a, 1e-12) for a in a_list]
+    # Carried masks are f32 0/1 (via max-accumulate): Mosaic fails to
+    # legalize fori_loop yields of i1 vectors.
+    blocked0 = [jnp.zeros(shape, jnp.float32) for _ in range(s_cnt)]
+    xs = [dists[si] - EPSILON for si in range(s_cnt)]
 
-    def tri_body(i, t_best):
+    def tri_body(i, blocked):
         w20 = tri_ref[i, 6]
         w21 = tri_ref[i, 7]
         w22 = tri_ref[i, 8]
@@ -353,37 +365,35 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds):
         w11 = tri_ref[i, 4]
         w12 = tri_ref[i, 5]
         nr2 = tri_ref[i, 12]
-        valid = tri_ref[i, 13] > 0.5
         op2 = o0 * w20 + o1 * w21 + o2 * w22 - tri_ref[i, 11]
         op0 = o0 * w00 + o1 * w01 + o2 * w02 - tri_ref[i, 9]
         op1 = o0 * w10 + o1 * w11 + o2 * w12 - tri_ref[i, 10]
+        q = op2 * nr2  # t·det, shared across the fan
         out = []
         for si in range(s_cnt):
             d0, d1, d2 = ds[si]
             dp2 = d0 * w20 + d1 * w21 + d2 * w22
             det = -(dp2 * nr2)
-            okd = jnp.abs(det) >= EPSILON
-            det_g = jnp.where(okd, det, 1.0)
-            t_hit = op2 * nr2 / det_g
+            dets = jnp.abs(det)
+            qs = jnp.where(det < 0.0, -q, q)  # t·|det|
             dp0 = d0 * w00 + d1 * w01 + d2 * w02
-            u = op0 + t_hit * dp0
+            u_s = op0 * dets + qs * dp0  # u·|det|
             dp1 = d0 * w10 + d1 * w11 + d2 * w12
-            v = op1 + t_hit * dp1
-            ok = (
-                okd
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t_hit >= 0.0)
-                & valid
+            v_s = op1 * dets + qs * dp1  # v·|det|
+            # All ≥-conditions folded into one min-chain sign test; the two
+            # strict conditions (t < dist−ε, i.e. x·dets − qs > 0) keep
+            # their own compare. dets ≥ EPSILON rides the min as dets−ε ≥ 0.
+            m = jnp.minimum(
+                jnp.minimum(qs, dets - EPSILON),
+                jnp.minimum(
+                    jnp.minimum(u_s, v_s), dets - (u_s + v_s)
+                ),
             )
-            out.append(
-                jnp.minimum(jnp.where(ok, t_hit, T_MAX), t_best[si])
-            )
+            ok = (m >= 0.0) & (xs[si] * dets - qs > 0.0)
+            out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
         return tuple(out)
 
-    def sph_body(s, t_best):
+    def sph_body(s, blocked):
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
@@ -396,24 +406,20 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds):
         out = []
         for si in range(s_cnt):
             d0, d1, d2 = ds[si]
-            bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
-            disc = bq * bq - 4.0 * a_safe[si] * cq
-            ok = (disc >= 0.0) & a_ok[si] & r_ok
+            # unit direction ⇒ a = 1: t² + 2(d·l)t + cq = 0
+            hb = d0 * l0 + d1 * l1 + d2 * l2  # b/2
+            disc = hb * hb - cq
+            ok = (disc >= 0.0) & r_ok
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
-            qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
-            x0 = q / a_safe[si]
-            x1 = cq / qs
-            lo = jnp.minimum(x0, x1)
-            hi = jnp.maximum(x0, x1)
-            t = jnp.where(lo < 0.0, hi, lo)
-            ok &= t >= 0.0
-            out.append(jnp.minimum(jnp.where(ok, t, T_MAX), t_best[si]))
+            lo = -hb - sq
+            t = jnp.where(lo < 0.0, -hb + sq, lo)
+            ok &= (t >= 0.0) & (t < xs[si])
+            out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
         return tuple(out)
 
-    t_best = lax.fori_loop(0, n_tris, tri_body, tuple(t0))
-    t_best = lax.fori_loop(0, n_sph, sph_body, t_best)
-    return list(t_best)
+    blocked = lax.fori_loop(0, n_tris, tri_body, tuple(blocked0))
+    blocked = lax.fori_loop(0, n_sph, sph_body, blocked)
+    return [b < 0.5 for b in blocked]
 
 
 def _gather_mat(mat_ref, n_mats, mat_id, chan):
@@ -753,15 +759,13 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
             samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
 
         if ctx["enable_shadow"]:
-            t_sh = ctx["occlude_fan"](
+            vis_sh = ctx["occlude_fan"](
                 p_dl, [s_[0] for s_ in samples], [s_[1] for s_ in samples]
             )
         for si in range(ctx["n_dir_sample"]):
             ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
             if ctx["enable_shadow"]:
-                visible = (t_sh[si] < T_MAX) & (
-                    jnp.abs(t_sh[si] - dist) < EPSILON
-                )
+                visible = vis_sh[si]
             else:
                 visible = jnp.ones_like(x, dtype=bool)
             ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
@@ -843,7 +847,7 @@ def _make_intersect_fns(
 
         def occlude_fan(o, ds, dists):
             return _occlude_shared_origin(
-                tri_ref, sph_ref, n_tris, n_sph, o, ds
+                tri_ref, sph_ref, n_tris, n_sph, o, ds, dists
             )
 
         return isect, occlude_fan
@@ -894,7 +898,10 @@ def _make_intersect_fns(
                 textured=False,
                 dist=dists[si],
             )
-            out.append(res_ref[R_T])  # ref read = copy before reuse
+            t_sh = res_ref[R_T]  # ref read = copy before reuse
+            out.append(
+                (t_sh < T_MAX) & (jnp.abs(t_sh - dists[si]) < EPSILON)
+            )
         return out
 
     return isect, occlude_fan
@@ -1498,9 +1505,14 @@ def _mega_kernel_regen(
             pend_l = l_dir_m
             pend_w = w_t
             pend_leaf = new_pend_leaf
+            # Ray accounting matches bench.py's baseline formula: 1 primary
+            # per camera sample, n_dir shadow rays per vertex, and a bounce
+            # ray only when one is actually traced (RR survivor, not
+            # bounce-capped) — BASELINE.md's "1 + 1.667*4 + 0.667" model.
             rays = (
                 rays
-                + jnp.where(at_vertex, jnp.float32(1 + n_dir_sample), 0.0)
+                + jnp.where(at_vertex, jnp.float32(n_dir_sample), 0.0)
+                + survive_f
                 + need_spawn.astype(jnp.float32)
             )
 
