@@ -214,16 +214,17 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=T
         op1 = o0 * w10 + o1 * w11 + o2 * w12 - c1
         v = op1 + t_hit * dp1
         # No `valid`-column check: padding/degenerate rows carry nr2 = 0,
-        # so det = 0 fails the okd test unconditionally.
-        ok = (
-            okd
-            & (u >= 0.0)
-            & (u <= 1.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t_hit >= 0.0)
+        # so det = 0 fails the |det| >= EPS test unconditionally. All hit
+        # conditions fold into one min-chain sign test (u <= 1 is implied
+        # by u >= 0, v >= 0, u + v <= 1).
+        m = jnp.minimum(
+            jnp.minimum(u, v),
+            jnp.minimum(
+                jnp.minimum(1.0 - (u + v), t_hit),
+                jnp.abs(det) - EPSILON,
+            ),
         )
-        return jnp.where(ok, t_hit, T_MAX), u, v
+        return jnp.where(m >= 0.0, t_hit, T_MAX), u, v
 
     def sph_t(s):
         cx = sph_ref[s, 0]
