@@ -73,7 +73,7 @@ def apply_params(pack, p: SceneParams):
     )
     emt_fat = jnp.concatenate(
         [pack.emt_fat[:, 0:12], pack.emt_fat[:, 12:15] * p.light_scale,
-         pack.emt_fat[:, 15:16]],
+         pack.emt_fat[:, 15:17]],
         axis=1,
     )
     return pack.replace(

@@ -171,6 +171,215 @@ def _sph_t_bundle(sph_ref, s, o, d, a_ok, a_safe):
     return jnp.where(ok, t, T_MAX)
 
 
+def cluster_occlude_fan(
+    cn_ref,
+    ct_ref,
+    sph_ref,
+    res_ref,
+    o,
+    ds,
+    dists,
+    *,
+    n_sph,
+):
+    """Visibility of S unit-direction shadow rays sharing one origin (the
+    NEE fan, Scene.cpp:56-82) against the clustered BVH + brute spheres, in
+    ONE tree walk. Returns a list of bool tiles: True = nothing blocks the
+    ray strictly closer than its light-sample distance.
+
+    Robust predicate: "any blocker at t < dist − ε" — the same re-expression
+    of the reference's `|t_nearest − dist| < EPSILON` check used by the SMEM
+    fan (megakernel._occlude_shared_origin), which the |t−dist| form loses
+    to float error on grazing samples at scene scale. Blocked flags (f32
+    0/1) live in res_ref[0..S-1].
+
+    Single-walk design: the S fan rays all lead to the same light, so their
+    per-sample node sets nearly coincide — one walk over the UNION visits
+    ~1/S the nodes of S separate walks, the per-tile origin terms
+    (op0/op1/op2, q = t·det) are computed ONCE per triangle tile instead of
+    once per (tile, sample), and the per-(tri, sample) test is the
+    division-free min-chain (conditions multiplied through by |det|).
+    Blocked lanes drop out of the node mask, and the walk abandons once
+    every (sample, lane) is blocked.
+    """
+    o0, o1, o2 = o
+    s_cnt = len(ds)
+    zero = jnp.zeros((CH_SUB, 128), jnp.float32)
+    for si in range(s_cnt):
+        res_ref[si] = zero
+    xs = [dists[si] - EPSILON for si in range(s_cnt)]
+    dinv = [
+        (1.0 / ds[si][0], 1.0 / ds[si][1], 1.0 / ds[si][2])
+        for si in range(s_cnt)
+    ]
+    rg_pow = jnp.exp2(
+        jax.lax.broadcasted_iota(jnp.int32, (CH_SUB, 1), 0).astype(jnp.float32)
+    )
+
+    # ---- brute spheres (unit dirs => a = 1; robust q-form roots)
+    def sphb(s, _):
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 3]
+        l0 = o0 - cx
+        l1 = o1 - cy
+        l2 = o2 - cz
+        cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+        r_ok = r > 0.0
+        for si in range(s_cnt):
+            d0, d1, d2 = ds[si]
+            hb = d0 * l0 + d1 * l1 + d2 * l2
+            disc = hb * hb - cq
+            ok = (disc >= 0.0) & r_ok
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = jnp.where(hb > 0.0, -(hb + sq), -(hb - sq))
+            qs_ = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+            lo = jnp.minimum(q, cq / qs_)
+            hi = jnp.maximum(q, cq / qs_)
+            t = jnp.where(lo < 0.0, hi, lo)
+            ok &= (t >= 0.0) & (t < xs[si])
+            res_ref[si] = jnp.maximum(res_ref[si], ok.astype(jnp.float32))
+        return 0
+
+    lax.fori_loop(0, n_sph, sphb, 0)
+
+    def leaf_rowgroup(rg, tbase, smask):
+        ro0 = jax.lax.slice_in_dim(o0, rg, rg + 1, axis=0)
+        ro1 = jax.lax.slice_in_dim(o1, rg, rg + 1, axis=0)
+        ro2 = jax.lax.slice_in_dim(o2, rg, rg + 1, axis=0)
+
+        def tile_body(t, _):
+            blk = ct_ref[pl.ds((tbase + t) * TILE, TILE), :]  # (8,16)
+            nr2 = blk[:, 12:13]
+            op2 = (
+                ro0 * blk[:, 6:7]
+                + ro1 * blk[:, 7:8]
+                + ro2 * blk[:, 8:9]
+                - blk[:, 11:12]
+            )
+            op0 = (
+                ro0 * blk[:, 0:1]
+                + ro1 * blk[:, 1:2]
+                + ro2 * blk[:, 2:3]
+                - blk[:, 9:10]
+            )
+            op1 = (
+                ro0 * blk[:, 3:4]
+                + ro1 * blk[:, 4:5]
+                + ro2 * blk[:, 5:6]
+                - blk[:, 10:11]
+            )
+            q = op2 * nr2  # t·det, shared across the fan
+            for si in range(s_cnt):
+
+                @pl.when(((smask >> si) & 1) > 0)
+                def _():
+                    d0 = jax.lax.slice_in_dim(
+                        ds[si][0], rg, rg + 1, axis=0
+                    )
+                    d1 = jax.lax.slice_in_dim(
+                        ds[si][1], rg, rg + 1, axis=0
+                    )
+                    d2 = jax.lax.slice_in_dim(
+                        ds[si][2], rg, rg + 1, axis=0
+                    )
+                    x_d = jax.lax.slice_in_dim(
+                        xs[si], rg, rg + 1, axis=0
+                    )
+                    dp2 = d0 * blk[:, 6:7] + d1 * blk[:, 7:8] + d2 * blk[:, 8:9]
+                    det = -(dp2 * nr2)
+                    dets = jnp.abs(det)
+                    qs = jnp.where(det < 0.0, -q, q)  # t·|det|
+                    dp0 = d0 * blk[:, 0:1] + d1 * blk[:, 1:2] + d2 * blk[:, 2:3]
+                    u_s = op0 * dets + qs * dp0
+                    dp1 = d0 * blk[:, 3:4] + d1 * blk[:, 4:5] + d2 * blk[:, 5:6]
+                    v_s = op1 * dets + qs * dp1
+                    m = jnp.minimum(
+                        jnp.minimum(qs, dets - EPSILON),
+                        jnp.minimum(
+                            jnp.minimum(u_s, v_s), dets - (u_s + v_s)
+                        ),
+                    )
+                    blocked8 = (m >= 0.0) & (x_d * dets - qs > 0.0)
+                    hit_any = jnp.max(
+                        blocked8.astype(jnp.float32), axis=0, keepdims=True
+                    )
+                    cur = res_ref[si, rg : rg + 1, :]
+                    res_ref[si, rg : rg + 1, :] = jnp.maximum(cur, hit_any)
+
+            return 0
+
+        return tile_body
+
+    def cond(n):
+        return n >= 0
+
+    def body(n):
+        row = n >> 3
+        c0 = (n & 7) * NODE_COLS
+        mn0 = cn_ref[row, c0 + 0]
+        mn1 = cn_ref[row, c0 + 1]
+        mn2 = cn_ref[row, c0 + 2]
+        mx0 = cn_ref[row, c0 + 3]
+        mx1 = cn_ref[row, c0 + 4]
+        mx2 = cn_ref[row, c0 + 5]
+        miss = cn_ref[row, c0 + 6].astype(jnp.int32)
+        n_tiles = cn_ref[row, c0 + 7].astype(jnp.int32)
+        tbase = cn_ref[row, c0 + 8].astype(jnp.int32)
+
+        # per-sample slab tests; union mask over samples drives descent,
+        # and per-sample bitmask smask skips settled samples at leaves
+        rgmask = jnp.zeros((CH_SUB, 1), jnp.float32)
+        smask = jnp.int32(0)
+        for si in range(s_cnt):
+            iv0, iv1, iv2 = dinv[si]
+            va0 = (mn0 - o0) * iv0
+            vb0 = (mx0 - o0) * iv0
+            va1 = (mn1 - o1) * iv1
+            vb1 = (mx1 - o1) * iv1
+            va2 = (mn2 - o2) * iv2
+            vb2 = (mx2 - o2) * iv2
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(va0, vb0), jnp.minimum(va1, vb1)),
+                jnp.minimum(va2, vb2),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(va0, vb0), jnp.maximum(va1, vb1)),
+                jnp.maximum(va2, vb2),
+            )
+            live = res_ref[si] < 0.5
+            hit = (
+                (tmin - EPSILON <= tmax)
+                & (tmax >= -EPSILON)
+                & (tmin - EPSILON <= xs[si])
+                & live
+            )
+            rg_si = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+            rgmask = jnp.maximum(rgmask, rg_si)
+            s_any = jnp.max(rg_si)
+            smask = smask | jnp.where(s_any > 0.0, jnp.int32(1) << si, 0)
+
+        mask = jnp.sum(rgmask * rg_pow).astype(jnp.int32)
+        any_hit = mask > 0
+        is_leaf = n_tiles > 0
+
+        @pl.when(any_hit & is_leaf)
+        def _():
+            for rg in range(CH_SUB):
+
+                @pl.when(((mask >> rg) & 1) > 0)
+                def _():
+                    lax.fori_loop(
+                        0, n_tiles, leaf_rowgroup(rg, tbase, smask), 0
+                    )
+
+        return jnp.where(any_hit & (n_tiles == 0), n + 1, miss)
+
+    lax.while_loop(cond, body, jnp.int32(0))
+    return [res_ref[si] < 0.5 for si in range(s_cnt)]
+
+
 def cluster_query_chunk(
     cn_ref,
     ct_ref,

@@ -25,9 +25,13 @@ sampling per src/Renderer.cpp:44-76. Differences vs the JAX wavefront path:
   *pixel*, path draws on the *lane*). Stream identity differs from the
   threefry draws of integrator.py, so images agree statistically (same
   estimator, same means), not bitwise.
-- Environment maps are not supported in-kernel (per-lane texture gathers
-  don't vectorize on the VPU); scenes with an env map fall back to the
-  wavefront path (render.py picks automatically).
+- Environment maps run two-tier (regen kernel only): primary misses are
+  counted per lane (output plane 2) and shaded by a deferred full-resolution
+  bilinear pass that reproduces the kernel's camera draws bit-exactly
+  (_primary_env_mean) — exact for fully-sky pixels, sub-pixel-approximate at
+  geometry edges; secondary bounces sample a 16x32 SMEM mip by nearest texel
+  (TPU has no per-lane gather; the mip select-loop costs ~5 ops/texel). The
+  wavefront integrator remains the full-res parity oracle.
 
 Scene tables live in SMEM (scalar memory): the scalar core streams
 primitive/material/emitter constants ahead of the VPU while every vector op
@@ -40,6 +44,7 @@ instead), no narrow trailing dims, rays stay on the lane axis end-to-end.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +71,7 @@ from mcpt_tpu.kernels.cluster import (
     R_T,
     R_UVX,
     R_UVY,
+    cluster_occlude_fan,
     cluster_query_chunk,
 )
 
@@ -74,6 +80,19 @@ LANE = 128
 CHUNK = CH_ROWS * LANE  # 1024 lanes per inner chunk
 MEGA_LANES = 1 << 20  # lanes per pallas_call (VMEM: 2 out planes = 8 MB)
 MEGA_MAX_TRIS = 1024  # SMEM triangle-table budget ((1024, 25) f32 = 100 KB)
+
+# In-kernel environment-map mip (secondary bounces only; primary misses are
+# shaded full-res by a deferred pass — see render_mega). 16x32 equirect
+# texels = 11.25° each; K must be a multiple of 128 lanes.
+ENV_MIP_H = 16
+ENV_MIP_W = 32
+ENV_MIP_K = ENV_MIP_H * ENV_MIP_W
+ENV_MIP_ROWS = ENV_MIP_K // 128  # SMEM rows per channel plane
+# θ-row boundaries expressed in cos θ = d_y, so the row pick needs no acos:
+# row = #{r : y < cos(πr/H)} = floor(θ·H/π).
+_ENV_COS_BOUNDS = tuple(
+    float(np.cos(np.pi * r / ENV_MIP_H)) for r in range(1, ENV_MIP_H)
+)
 
 _U = jnp.uint32
 
@@ -162,6 +181,64 @@ def _reflect(wo, n):
     return _sub(_scale(n, s), wo)
 
 
+def _atan2_poly(z, x):
+    """atan2(z, x) on tiles — Mosaic has no inverse-trig lowering, so use an
+    odd minimax polynomial on q = min/max ∈ [0,1] (max err ~1e-5 rad, i.e.
+    ~1e-4 of an ENV_MIP_W texel) + octant reconstruction."""
+    ax = jnp.abs(x)
+    az = jnp.abs(z)
+    mx = jnp.maximum(ax, az)
+    mn = jnp.minimum(ax, az)
+    q = mn / jnp.maximum(mx, 1e-20)
+    q2 = q * q
+    a = q * (
+        0.99997726
+        + q2
+        * (
+            -0.33262347
+            + q2
+            * (0.19354346 + q2 * (-0.11643287 + q2 * (0.05265332 - q2 * 0.01172120)))
+        )
+    )
+    a = jnp.where(az > ax, jnp.float32(0.5 * np.pi) - a, a)
+    a = jnp.where(x < 0.0, jnp.float32(np.pi) - a, a)
+    return jnp.where(z < 0.0, -a, a)
+
+
+def _env_mip_lookup(env_ref, wi, is_r, is_g, is_b):
+    """Per-lane single-channel env radiance from the SMEM mip (nearest
+    texel). Direction→UV mapping matches envmap.sample_env_chan_c
+    (reference Scene.hpp:60-99): phi = atan2(z, x), theta = acos(y) — the
+    θ row comes from counting precomputed cos-boundaries (no acos needed).
+
+    The per-lane gather is a scalar-broadcast select loop over the K mip
+    texels (TPU has no per-lane dynamic gather): ~5 vector ops per texel.
+    Used only for SECONDARY env lookups (bounce rays); primary misses are
+    deferred to a full-resolution XLA pass (render_mega)."""
+    inv = jax.lax.rsqrt(jnp.maximum(_dot(wi, wi), 1e-20))
+    y = wi[1] * inv
+    row = jnp.zeros_like(y)
+    for b in _ENV_COS_BOUNDS:
+        row += jnp.where(y < b, 1.0, 0.0)
+    phi = _atan2_poly(wi[2] * inv, wi[0] * inv)
+    u = (phi + jnp.float32(np.pi)) * jnp.float32(0.5 / np.pi)
+    col = jnp.clip(jnp.floor(u * ENV_MIP_W), 0.0, ENV_MIP_W - 1)
+    idx = row * ENV_MIP_W + col
+
+    def body(k, acc):
+        sel = idx == k.astype(jnp.float32)
+        pr = k >> 7
+        pc = k & 127
+        val = (
+            is_r * env_ref[pr, pc]
+            + is_g * env_ref[ENV_MIP_ROWS + pr, pc]
+            + is_b * env_ref[2 * ENV_MIP_ROWS + pr, pc]
+        )
+        return jnp.where(sel, val, acc)
+
+    return lax.fori_loop(0, ENV_MIP_K, body, jnp.zeros_like(y))
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -213,10 +290,11 @@ def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=T
         dp1 = d0 * w10 + d1 * w11 + d2 * w12
         op1 = o0 * w10 + o1 * w11 + o2 * w12 - c1
         v = op1 + t_hit * dp1
-        # No `valid`-column check: padding/degenerate rows carry nr2 = 0,
-        # so det = 0 fails the |det| >= EPS test unconditionally. All hit
-        # conditions fold into one min-chain sign test (u <= 1 is implied
-        # by u >= 0, v >= 0, u + v <= 1).
+        # No `valid`-column check: the packer (scene.py tri_kern[12])
+        # guarantees padding/degenerate rows carry nr2 = 0, so det = 0
+        # fails the |det| >= EPS test unconditionally. All hit conditions
+        # fold into one min-chain sign test (u <= 1 is implied by u >= 0,
+        # v >= 0, u + v <= 1).
         m = jnp.minimum(
             jnp.minimum(u, v),
             jnp.minimum(
@@ -407,13 +485,22 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds, dists):
         out = []
         for si in range(s_cnt):
             d0, d1, d2 = ds[si]
-            # unit direction ⇒ a = 1: t² + 2(d·l)t + cq = 0
+            # unit direction ⇒ a = 1: t² + 2(d·l)t + cq = 0. Keep the
+            # cancellation-robust q-form (global.hpp:20-35): roots are
+            # (q, cq/q) with q = -(hb + sign(hb)·√disc) — the naive
+            # -hb ± √disc form loses the small root to cancellation on
+            # grazing/distant spheres and can flip silhouette shadows.
             hb = d0 * l0 + d1 * l1 + d2 * l2  # b/2
             disc = hb * hb - cq
             ok = (disc >= 0.0) & r_ok
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            lo = -hb - sq
-            t = jnp.where(lo < 0.0, -hb + sq, lo)
+            q = jnp.where(hb > 0.0, -(hb + sq), -(hb - sq))
+            qs_ = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+            x0 = q  # a = 1
+            x1 = cq / qs_
+            lo = jnp.minimum(x0, x1)
+            hi = jnp.maximum(x0, x1)
+            t = jnp.where(lo < 0.0, hi, lo)
             ok &= (t >= 0.0) & (t < xs[si])
             out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
         return tuple(out)
@@ -683,8 +770,17 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     """
     chan = ctx["chan"]
     lam = ctx["lam"]
+    ablate = ctx.get("ablate", frozenset())
     wo = _neg(d)
-    m = _gather_mat(ctx["mat_ref"], ctx["n_mats"], mat_id, chan)
+    if "mat" in ablate:  # perf-debug: constant material (see trace_mega_block)
+        zero = jnp.zeros_like(lam)
+        m = {
+            "mtype": zero + 1.0, "ior_a": zero + 1.5, "ior_b": zero,
+            "rough": zero + 0.5, "refl": zero + 0.7, "emit": zero,
+            "textured": zero, "dirac": zero,
+        }
+    else:
+        m = _gather_mat(ctx["mat_ref"], ctx["n_mats"], mat_id, chan)
     ior = m["ior_a"] + m["ior_b"] / (lam * lam)
     b_leaf = jnp.clip(m["emit"] * jnp.abs(_dot(wo, n)), 0.0, 1.0)
     is_b = depth0 & happened & emissive
@@ -694,8 +790,12 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     xi1 = draw(2)
     xi2 = draw(3)
     xi3 = draw(4)
-    mfn = _sample_mfn(m, n, xi0, xi1)
-    kr = _fresnel(m, ior, d, mfn)
+    if "mfn" in ablate:  # perf-debug: no microfacet sample / fresnel
+        mfn = n
+        kr = jnp.full_like(lam, 0.8)
+    else:
+        mfn = _sample_mfn(m, n, xi0, xi1)
+        kr = _fresnel(m, ior, d, mfn)
 
     # ---- NEE (Scene.cpp:56-82,113-119): sample all S lights first, occlude
     # the whole shadow fan in ONE shared-origin primitive loop, then shade.
@@ -727,14 +827,15 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
                 mesh_area = jnp.where(same, emeta_ref[ei, 2], mesh_area)
             p_tgt = jnp.sqrt(v1_) * mesh_area
             found = jnp.zeros_like(x, dtype=bool)
-            row = [jnp.zeros_like(x) for _ in range(16)]
+            n_cols = 17 if ctx["n_sph_emitters"] else 16
+            row = [jnp.zeros_like(x) for _ in range(n_cols)]
             # First same-mesh row whose inclusive cumulative-area bound
             # fires wins; if none fires, the LAST same-mesh row is the
             # fallback (BVH.cpp:131-135): keep overwriting until found.
             for ei in range(ctx["n_emitters"]):
                 same = emeta_ref[ei, 0] == mesh
                 take = same & ~found
-                for c_ in range(16):
+                for c_ in range(n_cols):
                     row[c_] = jnp.where(take, emt_ref[ei, c_], row[c_])
                 found = found | (same & (p_tgt < emeta_ref[ei, 1]))
             xs = jnp.sqrt(v2_)
@@ -747,6 +848,24 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
                 row[2] + row[5] * wx + row[8] * wy,
             )
             ln = (row[9], row[10], row[11])
+            if ctx["n_sph_emitters"]:
+                # emissive-sphere row: uniform surface point, c + r·dir
+                # (scene.py emitter notes; pdf 1/(4πr²) rides mesh_area)
+                is_se = row[16] > 0.5
+                ysp = 1.0 - 2.0 * v2_
+                ssp = jnp.sqrt(jnp.maximum(1.0 - ysp * ysp, 0.0))
+                php = 2.0 * jnp.pi * v3_
+                dv = (ssp * jnp.cos(php), ysp, ssp * jnp.sin(php))
+                lp = _where3(
+                    is_se,
+                    (
+                        row[0] + row[3] * dv[0],
+                        row[1] + row[3] * dv[1],
+                        row[2] + row[3] * dv[2],
+                    ),
+                    lp,
+                )
+                ln = _where3(is_se, dv, ln)
             emit_l = jnp.where(
                 chan == 0, row[12], jnp.where(chan == 1, row[13], row[14])
             )
@@ -769,7 +888,10 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
                 visible = vis_sh[si]
             else:
                 visible = jnp.ones_like(x, dtype=bool)
-            ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
+            if "nee_eval" in ablate:  # perf-debug: constant NEE BSDF
+                ev = jnp.full_like(lam, 0.1)
+            else:
+                ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
             # Scene.cpp:76-78: ... / dist² / pdf / S with the area pdf
             # = 1/mesh_area (lights.py), i.e. ×mesh_area.
             contrib = (
@@ -793,8 +915,12 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     p_new = _add(p, _scale(n, EPSILON * sign))
     wi = _where3(branch_reflect, _reflect(wo, mfn), _refract(ior, d, mfn))
 
-    ev = _eval_bsdf(m, ior, refl, wi, wo, n, branch_reflect)
-    pv = _pdf(m, ior, wi, wo, n, branch_reflect)
+    if "bounce_eval" in ablate:  # perf-debug: constant bounce BSDF/pdf
+        ev = jnp.full_like(lam, 0.5)
+        pv = jnp.ones_like(lam)
+    else:
+        ev = _eval_bsdf(m, ior, refl, wi, wo, n, branch_reflect)
+        pv = _pdf(m, ior, wi, wo, n, branch_reflect)
     pv_ok = jnp.abs(pv) > 1e-10
     w_rough = jnp.where(
         pv_ok,
@@ -803,9 +929,19 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     )
     w = jnp.where(m["dirac"] > 0.5, ev * ctx["inv_rr"], w_rough)
 
-    bg = ctx["bg"]
-    bg_l = jnp.where(chan == 0, bg[0], jnp.where(chan == 1, bg[1], bg[2]))
-    env_ind = bg_l * ev * ctx["inv_rr"]
+    if ctx["use_env"]:
+        # secondary env radiance along the bounce direction (mip, nearest);
+        # primary misses are deferred to the full-res pass, so the miss leaf
+        # (bg_l) is zero here and the kernel counts the miss instead.
+        env_wi = _env_mip_lookup(
+            ctx["env_ref"], wi, ctx["is_r"], ctx["is_g"], ctx["is_b"]
+        )
+        bg_l = jnp.zeros_like(ev)
+        env_ind = env_wi * ev * ctx["inv_rr"]
+    else:
+        bg = ctx["bg"]
+        bg_l = jnp.where(chan == 0, bg[0], jnp.where(chan == 1, bg[1], bg[2]))
+        env_ind = bg_l * ev * ctx["inv_rr"]
 
     return {
         "l_dir": l_dir,
@@ -824,12 +960,14 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
 
 def _make_intersect_fns(
     tri_ref,
+    occ_ref,
     sph_ref,
     cn_ref,
     ct_ref,
     cuv_ref,
     res_ref,
     n_tris,
+    n_occ,
     n_sph,
     clustered,
     any_textured,
@@ -837,7 +975,11 @@ def _make_intersect_fns(
     """(isect(o,d) -> fused hit tuple, occlude_fan(o, ds, dists) -> [t]) on
     (8,128) chunk tiles: SMEM brute loop for small scenes, clustered-BVH
     walk (kernels/cluster.py) for big ones. Both produce the same fused
-    surface record, so the rest of the kernel is scene-size agnostic."""
+    surface record, so the rest of the kernel is scene-size agnostic.
+
+    The shadow fan tests occ_ref — the statically culled occluder subset of
+    the triangle table (scene.py: boundary geometry that provably cannot
+    block any vertex→light segment is dropped)."""
     if not clustered:
 
         def isect(o, d):
@@ -848,7 +990,7 @@ def _make_intersect_fns(
 
         def occlude_fan(o, ds, dists):
             return _occlude_shared_origin(
-                tri_ref, sph_ref, n_tris, n_sph, o, ds, dists
+                occ_ref, sph_ref, n_occ, n_sph, o, ds, dists
             )
 
         return isect, occlude_fan
@@ -884,26 +1026,13 @@ def _make_intersect_fns(
         return t, happened, p, n, uv, res_ref[R_MAT], res_ref[R_EM] > 0.5
 
     def occlude_fan(o, ds, dists):
-        out = []
-        for si in range(len(ds)):
-            cluster_query_chunk(
-                cn_ref,
-                ct_ref,
-                cuv_ref,
-                sph_ref,
-                res_ref,
-                o,
-                ds[si],
-                n_sph=n_sph,
-                occlusion=True,
-                textured=False,
-                dist=dists[si],
-            )
-            t_sh = res_ref[R_T]  # ref read = copy before reuse
-            out.append(
-                (t_sh < T_MAX) & (jnp.abs(t_sh - dists[si]) < EPSILON)
-            )
-        return out
+        # single-walk robust fan (see cluster.cluster_occlude_fan): one
+        # traversal for all S samples, "any blocker at t < dist − ε"
+        # predicate matching _occlude_shared_origin. The returned tiles are
+        # materialized ref reads (copies), safe across res_ref reuse.
+        return cluster_occlude_fan(
+            cn_ref, ct_ref, sph_ref, res_ref, o, ds, dists, n_sph=n_sph
+        )
 
     return isect, occlude_fan
 
@@ -911,12 +1040,14 @@ def _make_intersect_fns(
 def _mega_kernel(
     scal_ref,  # (1, 8) SMEM int32: [seed, lane_offset, spp, ...]
     tri_ref,  # (T8, 25) SMEM f32 (layout in mega_tables)
+    occ_ref,  # (T8o, 16) SMEM f32 occluder subset (shadow fan)
     sph_ref,  # (S, 6) SMEM f32: c, r, mat, emissive
     mat_ref,  # (M, 13) SMEM f32 (mat_fat)
     emt_ref,  # (E, 16) SMEM f32 (emt_fat)
     emeta_ref,  # (E, 3) SMEM f32: mesh ordinal, intra_cum, mesh_area
     lcum_ref,  # (L, 1) SMEM f32 cumulative mesh areas
     par_ref,  # (1, 8) SMEM f32: [bg_r, bg_g, bg_b, rr, inv_rr, total_area]
+    env_ref,  # (3*ENV_MIP_ROWS, 128) SMEM env mip planes (dummy when unused)
     cn_ref,  # (R, 128) SMEM cluster-BVH node rows (dummy when not clustered)
     ct_ref,  # (8*NT, 16) VMEM cluster triangle tiles
     cuv_ref,  # (8*NT, 8) VMEM cluster uv tiles
@@ -926,7 +1057,9 @@ def _mega_kernel(
     *,
     n_chunks,
     n_tris,
+    n_occ,
     n_sph,
+    n_sph_emitters,
     n_mats,
     n_emitters,
     n_lmesh,
@@ -935,8 +1068,12 @@ def _mega_kernel(
     enable_shadow,
     any_textured,
     clustered,
+    use_env,
+    ablate,
+    unroll,  # regen-only; ignored here
     cam,  # dict of static camera floats
 ):
+    assert not use_env, "env scenes require the regen kernel"
     seed = scal_ref[0, 0].astype(jnp.uint32)
     lane_off = scal_ref[0, 1]
     spp = scal_ref[0, 2]
@@ -995,10 +1132,17 @@ def _mega_kernel(
             "rr_rate": rr_rate,
             "inv_rr": inv_rr,
             "total_area": total_area,
+            "n_sph_emitters": n_sph_emitters,
+            "ablate": ablate,
+            "use_env": use_env,
+            "env_ref": env_ref,
+            "is_r": (chan == 0).astype(jnp.float32),
+            "is_g": (chan == 1).astype(jnp.float32),
+            "is_b": (chan == 2).astype(jnp.float32),
         }
         _isect, _ofan = _make_intersect_fns(
-            tri_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
-            n_tris, n_sph, clustered, any_textured,
+            tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
+            n_tris, n_occ, n_sph, clustered, any_textured,
         )
         ctx["occlude_fan"] = _ofan
 
@@ -1116,9 +1260,13 @@ def _mega_kernel(
                 rec_ref[depth, 1] = w
                 rec_ref[depth, 2] = leaf
                 rec_ref[depth, 3] = terminal.astype(jnp.float32)
+                # Ray accounting matches the regen kernel / bench.py formula:
+                # n_dir shadow rays per vertex + one bounce ray per uncapped
+                # RR survivor (the per-sample primary is rays0).
+                survive = at_vertex & ~V["rr_kill"] & (depth < max_bounces - 1)
                 rays = rays + jnp.where(
-                    at_vertex, jnp.float32(1 + n_dir_sample), 0.0
-                )
+                    at_vertex, jnp.float32(n_dir_sample), 0.0
+                ) + survive.astype(jnp.float32)
                 return (V["p_new"], V["wi"], nxt, cont.astype(jnp.float32), rays)
 
             rays0 = jnp.ones_like(x)  # the primary ray per lane
@@ -1157,12 +1305,14 @@ def _mega_kernel(
 def _mega_kernel_regen(
     scal_ref,
     tri_ref,
+    occ_ref,
     sph_ref,
     mat_ref,
     emt_ref,
     emeta_ref,
     lcum_ref,
     par_ref,
+    env_ref,
     cn_ref,
     ct_ref,
     cuv_ref,
@@ -1172,7 +1322,9 @@ def _mega_kernel_regen(
     *,
     n_chunks,
     n_tris,
+    n_occ,
     n_sph,
+    n_sph_emitters,
     n_mats,
     n_emitters,
     n_lmesh,
@@ -1181,6 +1333,9 @@ def _mega_kernel_regen(
     enable_shadow,
     any_textured,
     clustered,
+    use_env,
+    ablate,
+    unroll,
     cam,
 ):
     """Path-regeneration variant: each lane runs its own sample stream.
@@ -1266,10 +1421,17 @@ def _mega_kernel_regen(
             "rr_rate": rr_rate,
             "inv_rr": inv_rr,
             "total_area": total_area,
+            "n_sph_emitters": n_sph_emitters,
+            "ablate": ablate,
+            "use_env": use_env,
+            "env_ref": env_ref,
+            "is_r": (chan == 0).astype(jnp.float32),
+            "is_g": (chan == 1).astype(jnp.float32),
+            "is_b": (chan == 2).astype(jnp.float32),
         }
         _isect, _ofan = _make_intersect_fns(
-            tri_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
-            n_tris, n_sph, clustered, any_textured,
+            tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
+            n_tris, n_occ, n_sph, clustered, any_textured,
         )
         ctx["occlude_fan"] = _ofan
 
@@ -1344,17 +1506,30 @@ def _mega_kernel_regen(
             fzero,  # pend_env_leaf
             fzero,  # rad
             jnp.ones((CH_ROWS, LANE), jnp.float32),  # rays (sample-0 primary)
-        )
+        ) + ((fzero,) if use_env else ())  # primary-miss count (deferred)
 
         def iter_body(it, state):
+            # `unroll` path-segments per loop trip: amortizes the loop/cond
+            # machinery and the all-done reduction over several segments
+            # (the ablation study shows per-iteration framework overhead,
+            # not shading flops, bounds this kernel). Running a segment
+            # past completion is a no-op state-wise, so the coarser
+            # early-exit granularity is harmless.
+            def _live_n(args):
+                _, s = args
+                for _ in range(unroll):
+                    s = _iter_live((0, s))
+                return s
+
             return lax.cond(
-                jnp.min(state[4]) < spp, _iter_live, lambda a: a[1], (it, state)
+                jnp.min(state[4]) < spp, _live_n, lambda a: a[1], (it, state)
             )
 
         def _iter_live(args):
             _, state = args
             (o, d, hit, d_lane, s_lane, has_pend_f, pend_l, pend_w,
-             pend_leaf, rad, rays) = state
+             pend_leaf, rad, rays, *m0_t) = state
+            m0 = m0_t[0] if use_env else None
             active = s_lane < spp
             t, happened_f, p, n, uv, mat_id, em_f = hit
             happened = happened_f > 0.5
@@ -1451,11 +1626,15 @@ def _mega_kernel_regen(
                 emit = lax.fori_loop(0, ctx["n_mats"], mgather, emit)
                 won = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
                 b_leaf = jnp.clip(emit * jnp.abs(won), 0.0, 1.0)
-                bg_l = jnp.where(
-                    chan == 0,
-                    bg[0],
-                    jnp.where(chan == 1, bg[1], bg[2]),
-                )
+                if use_env:
+                    # primary-miss radiance is deferred (counted in m0)
+                    bg_l = zf
+                else:
+                    bg_l = jnp.where(
+                        chan == 0,
+                        bg[0],
+                        jnp.where(chan == 1, bg[1], bg[2]),
+                    )
                 leaf_now = jnp.where(~happened, bg_l, b_leaf)
                 return (zf, zf, leaf_now, zf, zf, zf) + o + d
 
@@ -1489,6 +1668,12 @@ def _mega_kernel_regen(
                 rec_ref[k, 3] = jnp.where(
                     seln, 1.0, jnp.where(selp, pend_term_fin, rec_ref[k, 3])
                 )
+
+            # primary-miss count: these lanes' radiance is deferred to the
+            # full-res env pass (their leaf_now is 0 when use_env)
+            if use_env:
+                pm = proc & ~happened & (d_lane == 0)
+                m0 = m0 + pm.astype(jnp.float32)
 
             # 4. fold + respawn for lanes whose path just ended
             done_now = active & (write_now | ended_env)
@@ -1525,13 +1710,17 @@ def _mega_kernel_regen(
             return (
                 o, d, hit, d_lane, s_new, has_pend_f, pend_l, pend_w,
                 pend_leaf, rad, rays,
-            )
+            ) + ((m0,) if use_env else ())
 
-        total_iters = spp * jnp.int32(max_bounces + 1)
+        total_iters = (
+            spp * jnp.int32(max_bounces + 1) + jnp.int32(unroll - 1)
+        ) // jnp.int32(unroll)
         state = lax.fori_loop(0, total_iters, iter_body, state0)
         rad, rays = state[9], state[10]
         out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
         out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
+        if use_env:
+            out_ref[2, pl.ds(r0, CH_ROWS), :] = state[11]
         return 0
 
     lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -1544,16 +1733,42 @@ def _mega_kernel_regen(
 
 def mega_supported(pack) -> bool:
     """Small scenes brute-force from SMEM; big ones use the clustered BVH
-    (built by scene.compile above 1024 triangles). Env maps are the one
-    unsupported feature (no per-lane texture gather on the VPU)."""
+    (built by scene.compile above 1024 triangles). Env-map scenes run on
+    the regen kernel: secondary bounces sample an in-kernel SMEM mip and
+    primary misses are deferred to a full-res XLA pass (render_mega)."""
     small = pack.tri_sc.shape[0] <= MEGA_MAX_TRIS
-    return (not pack.use_env) and (small or pack.n_cl_nodes > 0)
+    return small or pack.n_cl_nodes > 0
 
 
 def _block_lanes(pack) -> int:
-    """Lanes per pallas_call: clustered scenes halve the block so the
-    cluster tables + output planes stay inside the VMEM budget."""
-    return MEGA_LANES // 2 if pack.n_cl_nodes > 0 else MEGA_LANES
+    """Lanes per pallas_call: clustered and env scenes halve the block so
+    the cluster tables / third (miss-count) output plane stay inside the
+    VMEM budget."""
+    if pack.n_cl_nodes > 0 or pack.use_env:
+        return MEGA_LANES // 2
+    return MEGA_LANES
+
+
+def _resample_weights(n_src: int, n_dst: int):
+    """(n_dst, n_src) row-stochastic area-overlap weights: exact box average
+    when downsampling, linear-ish when upsampling — local means preserved."""
+    s0 = jnp.arange(n_src, dtype=jnp.float32)[None, :] / n_src
+    s1 = (jnp.arange(n_src, dtype=jnp.float32)[None, :] + 1.0) / n_src
+    d0 = jnp.arange(n_dst, dtype=jnp.float32)[:, None] / n_dst
+    d1 = (jnp.arange(n_dst, dtype=jnp.float32)[:, None] + 1.0) / n_dst
+    return (
+        jnp.maximum(0.0, jnp.minimum(s1, d1) - jnp.maximum(s0, d0)) * n_dst
+    )
+
+
+def env_mip_table(env_pixels):
+    """(3*ENV_MIP_ROWS, 128) SMEM channel-plane layout of the in-kernel env
+    mip: plane c rows [c*ENV_MIP_ROWS, (c+1)*ENV_MIP_ROWS), texel t at
+    (t >> 7, t & 127) within the plane, t = row*ENV_MIP_W + col."""
+    ow = _resample_weights(env_pixels.shape[0], ENV_MIP_H)
+    oc = _resample_weights(env_pixels.shape[1], ENV_MIP_W)
+    mip = jnp.einsum("rh,hwc,sw->rsc", ow, env_pixels, oc)
+    return mip.transpose(2, 0, 1).reshape(3 * ENV_MIP_ROWS, 128)
 
 
 def mega_tables(pack):
@@ -1600,7 +1815,14 @@ def mega_tables(pack):
         cn = jnp.zeros((1, 128), jnp.float32)
         ct = jnp.zeros((8, 16), jnp.float32)
         cuv = jnp.zeros((8, 8), jnp.float32)
-    return tri, sph, pack.mat_fat, pack.emt_fat, emeta, lcum, par, cn, ct, cuv
+    if pack.use_env:
+        env = env_mip_table(pack.env_pixels)
+    else:
+        env = jnp.zeros((1, 128), jnp.float32)
+    return (
+        tri, pack.tri_occ_sc, sph, pack.mat_fat, pack.emt_fat, emeta, lcum,
+        par, env, cn, ct, cuv,
+    )
 
 
 def _cam_static(camera):
@@ -1618,6 +1840,62 @@ def _cam_static(camera):
         "focal": float(camera.focal_distance),
         "aperture": float(camera.aperture_radius),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "spp"))
+def _primary_env_mean(pack, camera, spp, seed):
+    """(H*W, 3) mean full-resolution bilinear env radiance over each pixel's
+    spp jittered (and DoF-sampled) primary-ray directions, reproducing
+    _mega_kernel_regen's cam_ray murmur draws bit-exactly.
+
+    The regen kernel defers primary-miss shading: it counts misses per lane
+    (out plane 2) and leaves their radiance 0; render_mega adds
+    miss_count/spp × this image. For fully-sky pixels that is EXACT (every
+    sample missed, and this mean runs over exactly the sample set the kernel
+    traced, full-res bilinear per Scene.hpp:60-99 semantics); for partial
+    (geometry-edge) pixels it approximates the missed subset's env mean by
+    the all-sample mean — a sub-pixel-scale bias far below sensor
+    quantization for any smooth map."""
+    from mcpt_tpu.envmap import sample_env
+
+    cam = _cam_static(camera)
+    w, h = camera.width, camera.height
+    pix = jnp.arange(w * h, dtype=jnp.uint32)
+    fi = (pix % _U(w)).astype(jnp.float32)
+    fj = (pix // _U(w)).astype(jnp.float32)
+    seed_u = jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
+    om = cam["om"]
+
+    def body(s, acc):
+        mix = s.astype(jnp.uint32) * _U(0x0ED5AD4D) + seed_u * _U(0x01000193)
+        camdraw = lambda c: _unit(_murmur(pix * _U(0x9E3779B1) + mix + _U(c)))
+        u0 = camdraw(0x51ED2701)
+        u1 = camdraw(0x51ED2702)
+        x = (1.0 - 2.0 * (fi + u0) / cam["width"]) * cam["xscale"]
+        y = (1.0 - 2.0 * (fj + u1) / cam["height"]) * cam["yscale"]
+        one = jnp.ones_like(x)
+        if cam["use_dof"]:
+            u2 = camdraw(0x51ED2703)
+            u3 = camdraw(0x51ED2704)
+            r = cam["aperture"] * jnp.sqrt(u2)
+            theta = 2.0 * jnp.pi * u3
+            dx = r * jnp.cos(theta)
+            dy = r * jnp.sin(theta)
+            fd = cam["focal"]
+            dirs = (x * fd - dx, y * fd - dy, one * fd)
+        else:
+            dirs = (x, y, one)
+        v = _normalize(dirs)
+        d = tuple(
+            om[i][0] * v[0] + om[i][1] * v[1] + om[i][2] * v[2]
+            for i in range(3)
+        )
+        return acc + sample_env(pack, jnp.stack(d, axis=-1))
+
+    tot = lax.fori_loop(
+        0, spp, body, jnp.zeros((w * h, 3), jnp.float32)
+    )
+    return tot / jnp.float32(spp)
 
 
 @functools.partial(
@@ -1646,7 +1924,8 @@ def trace_mega_block(
     kernel (fastest); regen=False the lockstep spp × depth kernel.
     """
     assert n_lanes % CHUNK == 0, n_lanes
-    tri, sph, mat, emt, emeta, lcum, par, cn, ct, cuv = mega_tables(pack)
+    (tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct,
+     cuv) = mega_tables(pack)
     clustered = pack.n_cl_nodes > 0
     rows = n_lanes // LANE
     scal = jnp.concatenate(
@@ -1661,7 +1940,9 @@ def trace_mega_block(
         _mega_kernel_regen if regen else _mega_kernel,
         n_chunks=rows // CH_ROWS,
         n_tris=tri.shape[0],
+        n_occ=occ.shape[0],
         n_sph=sph.shape[0],
+        n_sph_emitters=pack.n_sph_emitters,
         n_mats=mat.shape[0],
         n_emitters=pack.n_emitters,
         n_lmesh=lcum.shape[0],
@@ -1670,14 +1951,23 @@ def trace_mega_block(
         enable_shadow=pack.enable_shadow,
         any_textured=any_textured,
         clustered=clustered,
+        use_env=pack.use_env,
+        # Perf-debug only: MCPT_MEGA_ABLATE=mat,mfn,nee_eval,bounce_eval
+        # stubs out kernel components to attribute runtime (results are
+        # wrong images; never set in production).
+        ablate=frozenset(
+            s for s in os.environ.get("MCPT_MEGA_ABLATE", "").split(",") if s
+        ),
+        unroll=int(os.environ.get("MCPT_MEGA_UNROLL", "2")),
         cam=_cam_static(camera),
     )
     from mcpt_tpu.kernels.cluster import N_RES as _N_RES
 
+    n_planes = 3 if pack.use_env else 2
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((2, rows, LANE), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9
+        out_shape=jax.ShapeDtypeStruct((n_planes, rows, LANE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1685,12 +1975,16 @@ def trace_mega_block(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((max_bounces, 4, CH_ROWS, LANE), jnp.float32),
-            pltpu.VMEM((_N_RES, CH_ROWS, LANE), jnp.float32),
+            # the clustered occlusion fan parks one blocked-plane per NEE
+            # sample in res_ref, so it needs >= n_dir_sample rows
+            pltpu.VMEM(
+                (max(_N_RES, pack.n_dir_sample), CH_ROWS, LANE), jnp.float32
+            ),
         ],
         interpret=interpret,
-    )(scal, tri, sph, mat, emt, emeta, lcum, par, cn, ct, cuv)
-    flat = out.reshape(2, n_lanes)
-    return flat[0], flat[1]
+    )(scal, tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct, cuv)
+    flat = out.reshape(n_planes, n_lanes)
+    return flat[0], flat[1], (flat[2] if pack.use_env else None)
 
 
 def render_mega_sharded(
@@ -1722,7 +2016,9 @@ def render_mega_sharded(
     from jax import shard_map
 
     if not mega_supported(pack):
-        raise ValueError("scene not supported by megakernel (env map or size)")
+        raise ValueError("scene not supported by megakernel (too many tris)")
+    if pack.use_env and not regen:
+        raise ValueError("env-map scenes require the regen megakernel")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     devices = list(devices if devices is not None else jax.devices())
@@ -1743,16 +2039,20 @@ def render_mega_sharded(
             P("shard"),
             P(),
         ),
-        out_specs=(P("shard"), P("shard")),
+        out_specs=(
+            (P("shard"), P("shard"), P("shard"))
+            if pack.use_env
+            else (P("shard"), P("shard"))
+        ),
         # pallas_call's out_shape carries no varying-mesh-axes info
         check_vma=False,
     )
     def run(pack_l, off_l, seed_l):
-        rads, rays = [], []
+        rads, rays, misses = [], [], []
         done = 0
         while done < per_dev:
             n = min(_block_lanes(pack), per_dev - done)
-            r, ry = trace_mega_block(
+            r, ry, m = trace_mega_block(
                 pack_l,
                 camera,
                 seed_l,
@@ -1766,17 +2066,28 @@ def render_mega_sharded(
             )
             rads.append(r)
             rays.append(ry)
+            if m is not None:
+                misses.append(m)
             done += n
-        return jnp.concatenate(rads), jnp.concatenate(rays)
+        out = (jnp.concatenate(rads), jnp.concatenate(rays))
+        if pack.use_env:
+            out = out + (jnp.concatenate(misses),)
+        return out
 
     t0 = time.monotonic()
     with mesh:
-        rad, rays = run(pack, offsets, seed_arr)
-    rad = np.asarray(rad)
+        res = run(pack, offsets, seed_arr)
+    rad, rays = np.asarray(res[0]), res[1]
     # Pad lanes trace real (wrapped-pixel) paths; count only image lanes.
     total_rays = float(np.asarray(jnp.sum(rays[:lanes])))
-    elapsed = time.monotonic() - t0
     img = rad[:lanes].reshape(h, w, 3)
+    if pack.use_env:
+        miss = np.asarray(res[2])
+        env_mean = np.asarray(
+            _primary_env_mean(pack, camera, spp, seed_arr)
+        ).reshape(h, w, 3)
+        img = img + (miss[:lanes].reshape(h, w, 3) / spp) * env_mean
+    elapsed = time.monotonic() - t0
     stats = {
         "elapsed_s": elapsed,
         "rays": int(total_rays),
@@ -1797,7 +2108,9 @@ def render_mega(
     import time
 
     if not mega_supported(pack):
-        raise ValueError("scene not supported by megakernel (env map or size)")
+        raise ValueError("scene not supported by megakernel (too many tris)")
+    if pack.use_env and not regen:
+        raise ValueError("env-map scenes require the regen megakernel")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     w, h = camera.width, camera.height
@@ -1812,21 +2125,30 @@ def render_mega(
     any_t = bool(np.asarray(pack.mat_textured).any())
     t0 = time.monotonic()
     rad = np.zeros(lanes_pad, np.float32)
+    miss = np.zeros(lanes_pad, np.float32)
     total_rays = 0.0
     off = 0
     while off < lanes_pad:
         n = min(blk_lanes, lanes_pad - off)
-        r, rays = trace_mega_block(
+        r, rays, m = trace_mega_block(
             pack, camera, seed, off, spp, n, max_bounces, interpret, regen,
             any_t,
         )
         rad[off : off + n] = np.asarray(r)
+        if m is not None:
+            miss[off : off + n] = np.asarray(m)
         # Pad lanes trace real (wrapped-pixel) paths; count image lanes only.
         n_real = max(0, min(lanes - off, n))
         total_rays += float(np.asarray(jnp.sum(rays[:n_real])))
         off += n
-    elapsed = time.monotonic() - t0
     img = rad[:lanes].reshape(h, w, 3)
+    if pack.use_env:
+        # deferred primary-miss env shading at full texture resolution
+        env_mean = np.asarray(
+            _primary_env_mean(pack, camera, spp, jnp.asarray(seed, jnp.int32))
+        ).reshape(h, w, 3)
+        img = img + (miss[:lanes].reshape(h, w, 3) / spp) * env_mean
+    elapsed = time.monotonic() - t0
     stats = {
         "elapsed_s": elapsed,
         "rays": int(total_rays),

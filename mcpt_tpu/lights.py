@@ -37,6 +37,18 @@ class LightSampleC(NamedTuple):
     pdf: jnp.ndarray  # (B,)
 
 
+def _sphere_point(row, u2, u3):
+    """Uniform point on an emissive sphere row (c = cols 0:3, r = col 3):
+    y = 1-2a, azimuth 2πb — pdf 1/(4πr²) (see scene.py emitter notes)."""
+    ys = 1.0 - 2.0 * u2
+    s = jnp.sqrt(jnp.maximum(1.0 - ys * ys, 0.0))
+    ph = 2.0 * jnp.pi * u3
+    dv = (s * jnp.cos(ph), ys, s * jnp.sin(ph))
+    r = row[:, 3]
+    p = (row[:, 0] + r * dv[0], row[:, 1] + r * dv[1], row[:, 2] + r * dv[2])
+    return p, dv
+
+
 def sample_light_c(pack, u, chan) -> LightSampleC:
     """Component/hot-path variant of `sample_light`: identical two-stage
     area-weighted pick, but the gathered row is sliced into (B,) components
@@ -53,6 +65,11 @@ def sample_light_c(pack, u, chan) -> LightSampleC:
         row[:, 2] + row[:, 5] * wx + row[:, 8] * wy,
     )
     n = (row[:, 9], row[:, 10], row[:, 11])
+    if pack.n_sph_emitters:
+        is_se = row[:, 16] > 0.5
+        ps, ns = _sphere_point(row, u[:, 2], u[:, 3])
+        p = tuple(jnp.where(is_se, ps[i], p[i]) for i in range(3))
+        n = tuple(jnp.where(is_se, ns[i], n[i]) for i in range(3))
     emit = jnp.where(
         chan == 0, row[:, 12], jnp.where(chan == 1, row[:, 13], row[:, 14])
     )
@@ -105,5 +122,11 @@ def sample_light(pack, u):
     x = xs[:, None]
     y = ys[:, None]
     p = v0 * (1.0 - x) + (v0 + e1v) * (x * (1.0 - y)) + (v0 + e2v) * (x * y)
+    n = row[:, 9:12]
+    if pack.n_sph_emitters:
+        is_se = (row[:, 16] > 0.5)[:, None]
+        ps, ns = _sphere_point(row, u[:, 2], u[:, 3])
+        p = jnp.where(is_se, jnp.stack(ps, -1), p)
+        n = jnp.where(is_se, jnp.stack(ns, -1), n)
     pdf = 1.0 / jnp.maximum(mesh_area, 1e-20)
-    return LightSample(p=p, n=row[:, 9:12], emit=row[:, 12:15], pdf=pdf)
+    return LightSample(p=p, n=n, emit=row[:, 12:15], pdf=pdf)

@@ -157,7 +157,7 @@ class ScenePack:
     tri_shade: jnp.ndarray  # (T, 11)
     sph_shade: jnp.ndarray  # (S, 5)
     prim_emissive: jnp.ndarray  # (T + S, 1) float 0/1
-    emt_fat: jnp.ndarray  # (E, 16)
+    emt_fat: jnp.ndarray  # (E, 17): tri v0/e1/e2/n | sph c/(r,0,0), emit, 1/area, is_sph
     # Pallas kernel layout: triangles along the lane (last) axis.
     # Rows: 9 Woop matrix entries (row-major), c0..c2, nr2, valid; padded to 16.
     tri_kern: jnp.ndarray  # (16, T)
@@ -175,6 +175,10 @@ class ScenePack:
     # scalars, so padding to the 128-lane tile would waste 3.5x work on
     # small scenes.
     tri_sc: jnp.ndarray  # (T8, 16)
+    # Occluder-only subset of tri_sc rows for the NEE shadow fan (statically
+    # culled boundary geometry removed; see compile()); dummy for clustered
+    # scenes, which occlude through the BVH.
+    tri_occ_sc: jnp.ndarray  # (T8o, 16)
     # environment
     env_pixels: jnp.ndarray  # (H, W, 3) float32; (1,1,3) dummy when unused
     background: jnp.ndarray  # (3,)
@@ -185,6 +189,7 @@ class ScenePack:
     n_tris: int = struct.field(pytree_node=False, default=0)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_emitters: int = struct.field(pytree_node=False, default=0)
+    n_sph_emitters: int = struct.field(pytree_node=False, default=0)
     use_env: bool = struct.field(pytree_node=False, default=False)
     enable_shadow: bool = struct.field(pytree_node=False, default=True)
     n_dir_sample: int = struct.field(pytree_node=False, default=4)
@@ -255,6 +260,7 @@ class Scene:
         bvh_leaf_size: int = 4,
         bvh_method: str = "sah",
         tri_pad: int = 128,
+        cluster_threshold: int = 1024,
     ) -> ScenePack:
         # Material table: dedupe by object identity.
         mats: list[Material] = []
@@ -287,12 +293,19 @@ class Scene:
                 emt_area.extend(areas.tolist())
                 emt_mesh_area.extend([float(areas.sum())] * f)
             tri_cursor += f
-        for sph in self.spheres:
+        # Emissive spheres: each is its own "light mesh" (one emitter row)
+        # with area 4πr² (Sphere.hpp:24 area member). Sampling is uniform
+        # over the sphere surface with pdf 1/area — the reference's
+        # Sphere::Sample (Sphere.hpp:64-74) draws (θ, φ) uniformly, which
+        # clusters samples at the poles while still reporting the uniform
+        # pdf; since no reference scene ever instantiates an emissive
+        # sphere (main.cpp:303-309) there is no golden to match, so the
+        # correct uniform-area sampler is used (see PARITY.md).
+        sph_emit_rows = []  # (sphere index, light-mesh ordinal, area)
+        for si, sph in enumerate(self.spheres):
             if sph.has_emit:
-                raise NotImplementedError(
-                    "emissive spheres are not supported yet; the reference "
-                    "scenes use mesh lights only (main.cpp:303-309)"
-                )
+                sph_emit_rows.append((si, len(lmesh_areas), sph.area))
+                lmesh_areas.append(sph.area)
 
         n_tris = tri_cursor
         t_pad = _round_up(n_tris, tri_pad)
@@ -363,23 +376,30 @@ class Scene:
         # Emitters. Intra-mesh inclusive cumulative areas reproduce the
         # reference's BVH-area-descent light pick with its sqrt(u) warp
         # (BVH.cpp:118-135); pdf is 1/mesh_area (BVH.cpp:122-135 net effect).
-        n_emitters = len(emt_tri)
+        n_tri_emitters = len(emt_tri)
+        n_emitters = n_tri_emitters + len(sph_emit_rows)
         e_pad = max(n_emitters, 1)
         a_emt_tri = np.zeros(e_pad, np.int32)
         a_emt_mesh = np.full(e_pad, -1, np.int32)
         a_intra = np.zeros(e_pad, np.float32)
         a_mesh_area = np.ones(e_pad, np.float32)
-        if n_emitters:
-            a_emt_tri[:n_emitters] = emt_tri
-            a_emt_mesh[:n_emitters] = emt_mesh
-            intra = np.zeros(n_emitters, np.float64)
+        if n_tri_emitters:
+            a_emt_tri[:n_tri_emitters] = emt_tri
+            a_emt_mesh[:n_tri_emitters] = emt_mesh
+            intra = np.zeros(n_tri_emitters, np.float64)
             acc: dict[int, float] = {}
-            for i in range(n_emitters):
+            for i in range(n_tri_emitters):
                 k = emt_mesh[i]
                 acc[k] = acc.get(k, 0.0) + emt_area[i]
                 intra[i] = acc[k]
-            a_intra[:n_emitters] = intra.astype(np.float32)
-            a_mesh_area[:n_emitters] = np.asarray(emt_mesh_area, np.float32)
+            a_intra[:n_tri_emitters] = intra.astype(np.float32)
+            a_mesh_area[:n_tri_emitters] = np.asarray(emt_mesh_area, np.float32)
+        for k, (si, ordinal, area) in enumerate(sph_emit_rows):
+            r_i = n_tri_emitters + k
+            a_emt_tri[r_i] = -1
+            a_emt_mesh[r_i] = ordinal
+            a_intra[r_i] = area  # single-row "mesh": inclusive cum = area
+            a_mesh_area[r_i] = area
         l_pad = max(len(lmesh_areas), 1)
         a_lmesh_cum = np.zeros(l_pad, np.float32)
         if lmesh_areas:
@@ -460,26 +480,73 @@ class Scene:
         prim_emissive = np.concatenate([tri_emissive, sph_emissive]).astype(
             np.float32
         )[:, None]
-        emt_v0 = v0[a_emt_tri]
-        emt_fat = np.concatenate(
-            [
-                emt_v0,
-                e1[a_emt_tri],
-                e2[a_emt_tri],
-                n_unit[a_emt_tri].astype(np.float32),
-                mat_emission[tmat[a_emt_tri]],
-                (1.0 / np.maximum(a_mesh_area, 1e-20))[:, None],
-            ],
-            axis=1,
-        ).astype(np.float32)
+        # Fused emitter rows (17 cols). Triangle rows: v0, e1, e2, n,
+        # emission, 1/mesh_area, 0. Sphere rows: center, (radius,0,0), 0,
+        # 0, emission, 1/area, 1 — the samplers branch on col 16.
+        emt_fat = np.zeros((e_pad, 17), np.float32)
+        if n_tri_emitters:
+            ti = a_emt_tri[:n_tri_emitters]
+            emt_fat[:n_tri_emitters, 0:3] = v0[ti]
+            emt_fat[:n_tri_emitters, 3:6] = e1[ti]
+            emt_fat[:n_tri_emitters, 6:9] = e2[ti]
+            emt_fat[:n_tri_emitters, 9:12] = n_unit[ti].astype(np.float32)
+            emt_fat[:n_tri_emitters, 12:15] = mat_emission[tmat[ti]]
+        for k, (si, ordinal, area) in enumerate(sph_emit_rows):
+            r_i = n_tri_emitters + k
+            emt_fat[r_i, 0:3] = sph_c[si]
+            emt_fat[r_i, 3] = sph_r[si]
+            emt_fat[r_i, 12:15] = mat_emission[sph_mat[si]]
+            emt_fat[r_i, 16] = 1.0
+        emt_fat[:, 15] = 1.0 / np.maximum(a_mesh_area, 1e-20)
 
         tri_kern = np.zeros((16, t_pad), np.float32)
         tri_kern[0:9] = w.reshape(t_pad, 9).T
         tri_kern[9:12] = c.T
-        tri_kern[12] = nr2.astype(np.float32)
+        # nr2 is zeroed on padding/degenerate rows so every kernel's
+        # |det| >= EPSILON test rejects them unconditionally (det = -dp2*nr2).
+        # Kernels that fold all hit conditions into a min-chain and drop the
+        # explicit valid-column check (megakernel._intersect_tile,
+        # _occlude_shared_origin, intersect_pallas._tri_candidate) depend on
+        # this invariant.
+        tri_kern[12] = np.where(valid, nr2, 0.0).astype(np.float32)
         tri_kern[13] = valid.astype(np.float32)
         t8 = _round_up(n_tris, 8)
         tri_sc = np.ascontiguousarray(tri_kern[:, :t8].T)  # (T8, 16)
+
+        # Static occluder cull for the megakernel's NEE shadow fan (small
+        # scenes only — the fan brute-tests every primitive): a triangle can
+        # never block a (path vertex -> light sample) segment if ALL
+        # primitive surfaces lie on one side of its plane, because both
+        # segment endpoints lie on primitives (path vertices on surfaces,
+        # light samples on emitter triangles) and a segment with endpoints
+        # on one side cannot cross the plane. In enclosed box scenes this
+        # drops the boundary floor/walls/ceiling/light from the fan's hot
+        # loop (~1/3 of its primitives). The reference has no analogue (its
+        # BVH visits and rejects these per ray, BVH.cpp:95-116).
+        if 0 < n_tris <= 1024:
+            pts = pos.reshape(-1, 3).astype(np.float64)
+            diag = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+            eps_o = max(1e-3, 1e-5 * diag, 4.0 * EPSILON)
+            nrm = n_unit[:n_tris].astype(np.float64)
+            dpl = np.einsum("td,td->t", nrm, v0[:n_tris].astype(np.float64))
+            s = pts @ nrm.T - dpl[None, :]  # (P, T) signed distances
+            smin = s.min(axis=0)
+            smax = s.max(axis=0)
+            if n_spheres:
+                scn = sph_c[:n_spheres].astype(np.float64) @ nrm.T - dpl[None, :]
+                rr_ = sph_r[:n_spheres].astype(np.float64)[:, None]
+                smin = np.minimum(smin, (scn - rr_).min(axis=0))
+                smax = np.maximum(smax, (scn + rr_).max(axis=0))
+            one_side = (smin >= -eps_o) | (smax <= eps_o)
+            occ_valid = valid[:n_tris] & ~one_side
+            occ_idx = np.nonzero(occ_valid)[0]
+            t8o = _round_up(int(occ_idx.size), 8)
+            tri_occ_sc = np.zeros((t8o, 16), np.float32)
+            if occ_idx.size:
+                tri_occ_sc[: occ_idx.size] = tri_kern[:, occ_idx].T
+        else:
+            # clustered scenes occlude through the BVH; ship a dummy
+            tri_occ_sc = np.zeros((8, 16), np.float32)
 
         # Traversal gather tables (see ScenePack docstring).
         leaf_cap = max(int(flat.leaf_count.max()) if flat.leaf_count.size else 1, 1)
@@ -490,7 +557,7 @@ class Scene:
         bvh_fat[:, 6] = flat.node_miss
         bvh_fat[:, 7] = np.maximum(flat.leaf_count, 0)
         leaves_idx = np.nonzero(flat.leaf_start >= 0)[0]
-        if leaves_idx.size:
+        if leaves_idx.size and prim_ids.size:
             starts = flat.leaf_start[leaves_idx][:, None]
             counts = flat.leaf_count[leaves_idx][:, None]
             cols = np.arange(leaf_cap)[None, :]
@@ -507,7 +574,10 @@ class Scene:
         cl_nodes = cl_tris = cl_uv = None
         n_cl_nodes = 0
         cl_textured = False
-        if n_tris > 1024:
+        # cluster_threshold below the SMEM budget forces the clustered path
+        # on small scenes — used by tests to cross-validate the two
+        # megakernel intersect/occlusion implementations on one scene.
+        if n_tris > cluster_threshold:
             from mcpt_tpu.kernels.cluster import (
                 build_cluster_tables,
                 pick_leaf_size,
@@ -565,6 +635,7 @@ class Scene:
             emt_fat=jnp.asarray(emt_fat),
             tri_kern=jnp.asarray(tri_kern),
             tri_sc=jnp.asarray(tri_sc),
+            tri_occ_sc=jnp.asarray(tri_occ_sc),
             bvh_fat=jnp.asarray(bvh_fat),
             tri_mt=jnp.asarray(tri_mt),
             sph_geom=jnp.asarray(sph_geom),
@@ -581,6 +652,7 @@ class Scene:
             n_tris=t_pad,
             n_spheres=s_pad,
             n_emitters=n_emitters,
+            n_sph_emitters=len(sph_emit_rows),
             use_env=use_env,
             enable_shadow=bool(self.enable_shadow),
             n_dir_sample=int(self.n_dir_sample),

@@ -52,7 +52,17 @@ class OracleScene:
             0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0))
             for (v0, v1, v2, m) in self.emitters
         ]
-        self.emit_total = float(np.sum(self.emit_areas))
+        # Emissive spheres: uniform-area sampling, area 4πr² (lights.py
+        # _sphere_point semantics).
+        self.sphere_emitters = [
+            (c, r, m) for (c, r, m) in self.spheres if m.has_emission
+        ]
+        self.sph_emit_areas = [
+            4.0 * np.pi * r * r for (c, r, m) in self.sphere_emitters
+        ]
+        self.emit_total = float(
+            np.sum(self.emit_areas) + np.sum(self.sph_emit_areas)
+        )
         self.rr = scene.rr_rate
         self.inv_rr = 1.0 / scene.rr_rate
         self.n_dir = scene.n_dir_sample
@@ -284,8 +294,25 @@ class OracleScene:
                 pos = v0 * (1 - x) + v1 * (x * (1 - y)) + v2 * (x * y)
                 n = _normalize(np.cross(v1 - v0, v2 - v0))
                 return pos, n, np.asarray(m.emission), 1.0 / self.emit_total
-        v0, v1, v2, m = self.emitters[-1]
-        return v0, _normalize(np.cross(v1 - v0, v2 - v0)), np.asarray(m.emission), 1.0 / self.emit_total
+        for (c, r, m), a in zip(self.sphere_emitters, self.sph_emit_areas):
+            acc += a
+            if p <= acc:
+                break
+        else:
+            if not self.sphere_emitters:
+                v0, v1, v2, m = self.emitters[-1]
+                return (
+                    v0,
+                    _normalize(np.cross(v1 - v0, v2 - v0)),
+                    np.asarray(m.emission),
+                    1.0 / self.emit_total,
+                )
+            c, r, m = self.sphere_emitters[-1]
+        ys = 1.0 - 2.0 * rng.random()
+        s = np.sqrt(max(1.0 - ys * ys, 0.0))
+        ph = 2.0 * np.pi * rng.random()
+        dv = np.array([s * np.cos(ph), ys, s * np.sin(ph)])
+        return c + r * dv, dv, np.asarray(m.emission), 1.0 / self.emit_total
 
     def direct_lighting(self, wo, p, n, uv, m, chan, is_reflect, rng):
         l_dir = 0.0

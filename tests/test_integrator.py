@@ -172,6 +172,70 @@ def test_statistical_match_vs_oracle():
     np.testing.assert_allclose(ours, ref, rtol=0.12, atol=0.01)
 
 
+@pytest.mark.slow
+def test_sphere_light_vs_oracle():
+    """Emissive SPHERE lights (reference capability Sphere.hpp:60-74, unused
+    by its scenes): wavefront integrator vs the independent scalar oracle on
+    a sphere-lit rough floor, plus megakernel mean parity."""
+    from mcpt_tpu.scene import Sphere
+
+    light = make_light_material(3.0)
+    floor_mat = Material(MaterialType.ROUGH_CONDUCTOR, roughness=0.5,
+                         base_reflectance=(0.8, 0.6, 0.4))
+    sc = Scene()
+    sc.add(_quad(0.0, 5.0, floor_mat, flip=True))
+    sc.add(Sphere((0.0, 4.0, 1.5), 0.8, light, "slight"))
+    sc.set_rr_rate(0.6)
+    pack = sc.compile()
+    assert pack.n_sph_emitters == 1
+    assert float(np.asarray(pack.emit_total_area)) == pytest.approx(
+        4.0 * np.pi * 0.8**2, rel=1e-5
+    )
+    oracle = OracleScene(sc)
+
+    o_np = np.array([0.0, 2.0, -6.0])
+    d_np = np.array([0.0, -0.3, 1.0])
+    d_np /= np.linalg.norm(d_np)
+    rng = np.random.default_rng(0)
+    n_oracle = 900
+    ref = np.zeros(3)
+    for chan in range(3):
+        ref[chan] = np.mean(
+            [oracle.cast_ray(o_np, d_np, 0, chan, rng) for _ in range(n_oracle)]
+        )
+
+    o = jnp.asarray(o_np, jnp.float32)[None, :]
+    d = jnp.asarray(d_np, jnp.float32)[None, :]
+    o3, d3, lam, chan = _lane_batch(o, d)
+    acc = np.zeros(3)
+    n_ours = 2400
+    for k in range(n_ours // 8):
+        keys = jax.random.fold_in(jax.random.key(11), k)
+        o8 = jnp.repeat(o3, 8, axis=0)
+        d8 = jnp.repeat(d3, 8, axis=0)
+        lam8 = jnp.tile(lam, 8)
+        chan8 = jnp.tile(chan, 8)
+        r, _ = trace_paths(pack, o8, d8, lam8, chan8, keys, max_bounces=10)
+        acc += np.asarray(r).reshape(8, 3).sum(axis=0)
+    ours = acc / n_ours
+    assert ref.mean() > 0.01  # the sphere light actually lights the floor
+    np.testing.assert_allclose(ours, ref, rtol=0.15, atol=0.015)
+
+    # megakernel NEE sphere branch: camera render mean parity vs wavefront
+    from mcpt_tpu.kernels.megakernel import render_mega
+
+    cam = Camera(
+        width=16, height=8, fov=60,
+        position=(0.0, 2.0, -6.0), target=(0.0, 1.0, 0.0), up=(0, 1, 0),
+    )
+    img, _ = render_mega(pack, cam, spp=16, seed=0, max_bounces=4, interpret=True)
+    ref_img, _ = render_radiance(
+        pack, cam, 32, method="dense", max_bounces=4, tile_pixels=16 * 8
+    )
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref_img.mean()) / max(ref_img.mean(), 1e-9) < 0.2
+
+
 def test_render_radiance_shapes_and_tiles():
     sc = demo_scene()
     cam = dataclasses.replace(sc.camera, width=21, height=13)

@@ -80,11 +80,16 @@ def test_mega_deterministic(pack, cam):
 
 
 def test_mega_tables_layout(pack):
-    tri, sph, mat, emt, emeta, lcum, par, cn, ct, cuv = mega_tables(pack)
+    (tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct,
+     cuv) = mega_tables(pack)
     assert tri.shape[1] == 25  # 14 geom + 11 shade cols
+    assert occ.shape[1] == 16 and occ.shape[0] % 8 == 0
+    # the demo Cornell box statically culls its boundary geometry
+    # (floor/ceiling/back/light = 8 tris) from the shadow-fan table
+    assert occ.shape[0] < tri.shape[0]
     assert sph.shape[1] == 6
     assert mat.shape[1] == 13
-    assert emt.shape[1] == 16
+    assert emt.shape[1] == 17  # 16 + is_sphere flag col
     assert emeta.shape[1] == 3
     # pad rows of the light-mesh cumulative areas must be +inf-like
     assert float(np.asarray(lcum).min()) > 0.0
@@ -92,12 +97,13 @@ def test_mega_tables_layout(pack):
 
 def test_mega_supported_gating(pack):
     assert mega_supported(pack)
+    # env-map scenes are supported since round 3 (regen kernel only)
     sc = demo_scene()
     sc.env_pixels = np.zeros((4, 8, 3), np.float32)
     env_pack = sc.compile()
-    assert not mega_supported(env_pack)
+    assert mega_supported(env_pack)
     with pytest.raises(ValueError):
-        render_mega(env_pack, sc.camera, spp=1)
+        render_mega(env_pack, sc.camera, spp=1, interpret=True, regen=False)
 
 
 def test_mega_sharded_8dev(pack, cam):
@@ -161,6 +167,85 @@ def test_mega_textured_chessboard():
     assert np.isfinite(img).all()
     assert img.max() > 0.0
     assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.35
+
+
+def test_mega_clustered_equals_smem_demo(pack, cam):
+    """Force the demo scene through the CLUSTERED path (cluster_threshold=8)
+    and compare with the SMEM brute path. Same murmur draws, same estimator,
+    same occlusion predicate — images must agree except for ULP-level
+    nearest-hit winner flips on a handful of lanes. This cross-validates the
+    clustered intersect AND the single-walk clustered occlusion fan
+    (cluster.cluster_occlude_fan) against the SMEM implementations on
+    identical sampling decisions — far tighter than wavefront-vs-mega
+    statistics."""
+    pack_c = demo_scene().compile(cluster_threshold=8)
+    assert pack_c.n_cl_nodes > 0
+    a, _ = render_mega(pack, cam, spp=6, seed=1, max_bounces=4, interpret=True)
+    b, _ = render_mega(
+        pack_c, cam, spp=6, seed=1, max_bounces=4, interpret=True
+    )
+    diff = np.abs(a - b)
+    assert (diff > 1e-3).mean() < 0.02, float((diff > 1e-3).mean())
+    assert abs(a.mean() - b.mean()) < 5e-3
+
+
+def test_occluder_cull_is_lossless(pack, cam):
+    """The static shadow-fan cull (scene.py tri_occ_sc) only removes
+    triangles that provably cannot block any vertex→light segment, so
+    rendering with the culled table must be BITWISE equal to rendering
+    with the full triangle table as occluders."""
+    full = dataclasses.replace(pack, tri_occ_sc=pack.tri_sc)
+    a, sa = render_mega(pack, cam, spp=4, seed=2, max_bounces=3, interpret=True)
+    b, sb = render_mega(full, cam, spp=4, seed=2, max_bounces=3, interpret=True)
+    assert np.array_equal(a, b)
+    assert sa["rays"] == sb["rays"]
+
+
+@pytest.mark.parametrize("regen", [False, True])
+def test_mega_no_phantom_padding_triangle(regen):
+    """Triangle counts not divisible by 8 pad tri_sc with synthetic rows.
+    The packer must zero their nr2 column (scene.py tri_kern[12]) so the
+    min-chain intersectors — which carry no valid-column test — cannot hit a
+    phantom unit triangle at the world origin. Regression: a 3-triangle
+    scene viewed through the origin must render pure background."""
+    from mcpt_tpu.camera import Camera
+    from mcpt_tpu.materials import Material, make_light_material
+    from mcpt_tpu.scene import Scene, TriangleMesh
+
+    cam = Camera(
+        width=8, height=8, fov=40,
+        position=(0.3, 0.3, -2.0), target=(0.3, 0.3, 0.0), up=(0, 1, 0),
+    )
+    sc = Scene(cam)
+    # One ordinary triangle + a 2-triangle light, all far outside the
+    # frustum: 3 real rows -> 5 padding rows in the 8-row kernel table.
+    tri = np.array([[[50, 0, 10], [51, 0, 10], [50, 1, 10]]], np.float32)
+    quad = np.array(
+        [
+            [[50, 5, 10], [51, 5, 10], [51, 5, 11]],
+            [[50, 5, 10], [51, 5, 11], [50, 5, 11]],
+        ],
+        np.float32,
+    )
+    zuv = np.zeros((1, 3, 2), np.float32)
+    sc.add(TriangleMesh(tri, zuv, Material(), "tri"))
+    sc.add(
+        TriangleMesh(
+            quad, np.zeros((2, 3, 2), np.float32), make_light_material(5.0),
+            "light",
+        )
+    )
+    pack = sc.compile()
+    assert pack.tri_sc.shape[0] == 8
+    # padding rows really carry nr2 = 0
+    assert np.asarray(pack.tri_sc)[3:, 12].max() == 0.0
+    img, stats = render_mega(
+        pack, cam, spp=4, seed=0, max_bounces=3, interpret=True, regen=regen
+    )
+    assert np.array_equal(img, np.zeros_like(img))
+    # Every camera sample must miss: exactly 1 primary ray per sample and
+    # zero shadow/bounce rays. A phantom hit would add n_dir_sample rays.
+    assert stats["rays"] == 8 * 8 * 3 * 4
 
 
 def test_cluster_tables_invariants():
