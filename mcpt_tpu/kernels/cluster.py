@@ -47,11 +47,28 @@ class ClusterTables:
 
 
 def pick_leaf_size(n_tris: int) -> int:
-    """Smallest leaf size whose estimated node count fits the SMEM budget."""
+    """Leaf size for the cluster BVH.
+
+    The walk serializes one scalar-core step (+ a vector→scalar mask sync)
+    per node, and a path-regeneration chunk holds 1024 mutually incoherent
+    rays whose union of node sets approaches the whole tree — so node
+    count, not per-leaf triangle work, bounds big-scene throughput. Larger
+    leaves trade vectorized 8-tri tile tests (cheap) for fewer serial node
+    steps (expensive). MCPT_CLUSTER_LEAF overrides for experiments.
+    """
+    import os
+
+    override = os.environ.get("MCPT_CLUSTER_LEAF")
+    if override:
+        return int(override)
     for leaf in (8, 16, 32, 64, 128):
-        # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves ~60-100% full
-        if 2 * (2 * n_tris // leaf + 1) <= NODES_PER_ROW * MAX_NODE_ROWS:
+        # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves ~60-100% full;
+        # keep the serial walk under ~1.5k nodes when possible
+        nodes = 2 * (2 * n_tris // leaf + 1)
+        if nodes <= min(NODES_PER_ROW * MAX_NODE_ROWS, 1500):
             return leaf
+    if 2 * (2 * n_tris // 128 + 1) <= NODES_PER_ROW * MAX_NODE_ROWS:
+        return 128
     raise ValueError(f"scene too large for cluster tables: {n_tris} tris")
 
 

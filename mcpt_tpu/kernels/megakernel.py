@@ -814,30 +814,52 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
             v3_ = draw(base + 3)
             # stage 1: mesh by cumulative area (Scene.cpp:28-36)
             target = v0_ * ctx["total_area"]
-            mesh = jnp.zeros_like(x)
-            for li in range(ctx["n_lmesh"]):
-                mesh += jnp.where(ctx["lcum_ref"][li, 0] < target, 1.0, 0.0)
-            # stage 2: emitter triangle within mesh
-            # (BVH.cpp:120-135 area descent, sqrt warp)
+            lcum_ref = ctx["lcum_ref"]
+
+            def mesh_body(li, acc):
+                return acc + jnp.where(lcum_ref[li, 0] < target, 1.0, 0.0)
+
+            mesh = lax.fori_loop(
+                0, ctx["n_lmesh"], mesh_body, jnp.zeros_like(x)
+            )
+            # stage 2: emitter triangle within mesh (BVH.cpp:120-135 area
+            # descent, sqrt warp), as ONE fori over emitter rows so kernel
+            # code size and Mosaic compile time stay flat in the emitter
+            # count (a tessellated light is hundreds of rows). The
+            # cumulative bound is compared as a FRACTION of the mesh area
+            # (emeta col 3, precomputed host-side) so no per-row
+            # mesh-area pass is needed; the area itself is recovered from
+            # the winning row's 1/mesh_area column.
             emeta_ref = ctx["emeta_ref"]
             emt_ref = ctx["emt_ref"]
-            mesh_area = jnp.zeros_like(x)
-            for ei in range(ctx["n_emitters"]):
-                same = emeta_ref[ei, 0] == mesh
-                mesh_area = jnp.where(same, emeta_ref[ei, 2], mesh_area)
-            p_tgt = jnp.sqrt(v1_) * mesh_area
-            found = jnp.zeros_like(x, dtype=bool)
+            sv1 = jnp.sqrt(v1_)
             n_cols = 17 if ctx["n_sph_emitters"] else 16
-            row = [jnp.zeros_like(x) for _ in range(n_cols)]
-            # First same-mesh row whose inclusive cumulative-area bound
-            # fires wins; if none fires, the LAST same-mesh row is the
-            # fallback (BVH.cpp:131-135): keep overwriting until found.
-            for ei in range(ctx["n_emitters"]):
+
+            def pick_body(ei, carry):
+                found = carry[0]
                 same = emeta_ref[ei, 0] == mesh
-                take = same & ~found
-                for c_ in range(n_cols):
-                    row[c_] = jnp.where(take, emt_ref[ei, c_], row[c_])
-                found = found | (same & (p_tgt < emeta_ref[ei, 1]))
+                take = same & (found < 0.5)
+                # First same-mesh row whose inclusive bound fires wins; if
+                # none fires, the LAST same-mesh row is the fallback
+                # (BVH.cpp:131-135): keep overwriting until found.
+                new_row = tuple(
+                    jnp.where(take, emt_ref[ei, c_], carry[1 + c_])
+                    for c_ in range(n_cols)
+                )
+                found = jnp.maximum(
+                    found,
+                    (same & (sv1 < emeta_ref[ei, 3])).astype(jnp.float32),
+                )
+                return (found,) + new_row
+
+            carry = lax.fori_loop(
+                0,
+                ctx["n_emitters"],
+                pick_body,
+                (jnp.zeros_like(x),) * (1 + n_cols),
+            )
+            row = list(carry[1:])
+            mesh_area = 1.0 / jnp.maximum(row[15], 1e-30)
             xs = jnp.sqrt(v2_)
             ys = v3_
             wx = xs * (1.0 - ys)
@@ -1077,6 +1099,7 @@ def _mega_kernel(
     seed = scal_ref[0, 0].astype(jnp.uint32)
     lane_off = scal_ref[0, 1]
     spp = scal_ref[0, 2]
+    lane_stride = scal_ref[0, 3]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
@@ -1088,7 +1111,12 @@ def _mega_kernel(
 
     def chunk_body(rc, _):
         r0 = rc * CH_ROWS
-        lane = lane_off + (r0 + row_iota) * LANE + col_iota
+        # strided lane assignment: lane = off + idx*stride. stride=1 for the
+        # single-chip render; the sharded render interleaves devices
+        # (stride = n_devices) so every device samples the whole image and
+        # per-device work stays balanced (sky rows terminate early, interior
+        # rows bounce — contiguous ranges were ~83% balanced at 8 devices).
+        lane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
         pix = lane // 3
         chan = lane - pix * 3
         pix_u = pix.astype(jnp.uint32)
@@ -1256,10 +1284,15 @@ def _mega_kernel(
                     ),
                 )
                 terminal = ~cont
-                rec_ref[depth, 0] = jnp.where(alive, l_dir, 0.0)
+                # 3-field record: rec0 = leaf (terminal) / l_dir (interior),
+                # rec1 = w, rec2 = terminal flag — the fold never reads a
+                # terminal's l_dir/w, so leaf shares rec0 (25% less record
+                # traffic than separate l_dir/w/leaf/term planes).
+                rec_ref[depth, 0] = jnp.where(
+                    terminal, leaf, jnp.where(alive, l_dir, 0.0)
+                )
                 rec_ref[depth, 1] = w
-                rec_ref[depth, 2] = leaf
-                rec_ref[depth, 3] = terminal.astype(jnp.float32)
+                rec_ref[depth, 2] = terminal.astype(jnp.float32)
                 # Ray accounting matches the regen kernel / bench.py formula:
                 # n_dir shadow rays per vertex + one bounce ray per uncapped
                 # RR survivor (the per-sample primary is rays0).
@@ -1277,14 +1310,13 @@ def _mega_kernel(
             # ---- reverse clamp fold (Scene.cpp:180-183 nesting)
             def fold_body(k, l_next):
                 dd = max_bounces - 1 - k
-                l_dir = rec_ref[dd, 0]
+                r0 = rec_ref[dd, 0]
                 w = rec_ref[dd, 1]
-                leaf = rec_ref[dd, 2]
-                term = rec_ref[dd, 3] > 0.5
+                term = rec_ref[dd, 2] > 0.5
                 return jnp.where(
                     term,
-                    leaf,
-                    jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+                    r0,
+                    jnp.clip(r0, 0.0, CLAMP_DIRECT)
                     + jnp.clip(w * l_next, 0.0, CLAMP_INDIRECT),
                 )
 
@@ -1366,6 +1398,7 @@ def _mega_kernel_regen(
     seed = scal_ref[0, 0].astype(jnp.uint32)
     lane_off = scal_ref[0, 1]
     spp = scal_ref[0, 2]
+    lane_stride = scal_ref[0, 3]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
@@ -1377,7 +1410,12 @@ def _mega_kernel_regen(
 
     def chunk_body(rc, _):
         r0 = rc * CH_ROWS
-        lane = lane_off + (r0 + row_iota) * LANE + col_iota
+        # strided lane assignment: lane = off + idx*stride. stride=1 for the
+        # single-chip render; the sharded render interleaves devices
+        # (stride = n_devices) so every device samples the whole image and
+        # per-device work stays balanced (sky rows terminate early, interior
+        # rows bounce — contiguous ranges were ~83% balanced at 8 devices).
+        lane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
         pix = lane // 3
         chan = lane - pix * 3
         pix_u = pix.astype(jnp.uint32)
@@ -1477,23 +1515,44 @@ def _mega_kernel_regen(
         def fold_records():
             l_next = jnp.zeros((CH_ROWS, LANE), jnp.float32)
             for k in reversed(range(max_bounces)):
-                term = rec_ref[k, 3] > 0.5
+                r0 = rec_ref[k, 0]
+                term = rec_ref[k, 2] > 0.5
                 l_next = jnp.where(
                     term,
-                    rec_ref[k, 2],
-                    jnp.clip(rec_ref[k, 0], 0.0, CLAMP_DIRECT)
+                    r0,
+                    jnp.clip(r0, 0.0, CLAMP_DIRECT)
                     + jnp.clip(rec_ref[k, 1] * l_next, 0.0, CLAMP_INDIRECT),
                 )
             return l_next
+
+        def _pack_hit(h):
+            # Slim loop-carried hit: t is never used downstream, and uv is
+            # all-zeros for untextured scenes — dropping them trims the
+            # fori-carried state (register/VMEM pressure dominates this
+            # kernel, see PERF.md).
+            out = (h[1].astype(jnp.float32),) + h[2] + h[3]
+            if any_textured:
+                out = out + h[4]
+            return out + (h[5], h[6].astype(jnp.float32))
+
+        def _unpack_hit(hit):
+            happened_f = hit[0]
+            p = hit[1:4]
+            n = hit[4:7]
+            if any_textured:
+                uv = hit[7:9]
+                mat_id, em_f = hit[9], hit[10]
+            else:
+                z = jnp.zeros_like(happened_f)
+                uv = (z, z)
+                mat_id, em_f = hit[7], hit[8]
+            return happened_f, p, n, uv, mat_id, em_f
 
         # ---- initial state: every lane spawns sample 0
         izero = jnp.zeros((CH_ROWS, LANE), jnp.int32)
         fzero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
         o0, d0 = cam_ray(izero)
-        h = _isect(o0, d0)
-        hit0 = h[:1] + (h[1].astype(jnp.float32),) + h[2:6] + (
-            h[6].astype(jnp.float32),
-        )
+        hit0 = _pack_hit(_isect(o0, d0))
         state0 = (
             o0,
             d0,
@@ -1531,7 +1590,7 @@ def _mega_kernel_regen(
              pend_leaf, rad, rays, *m0_t) = state
             m0 = m0_t[0] if use_env else None
             active = s_lane < spp
-            t, happened_f, p, n, uv, mat_id, em_f = hit
+            happened_f, p, n, uv, mat_id, em_f = _unpack_hit(hit)
             happened = happened_f > 0.5
             emissive = em_f > 0.5
             has_pend = (has_pend_f > 0.5) & active
@@ -1646,27 +1705,27 @@ def _mega_kernel_regen(
             at_vertex = at_vertex_f > 0.5
             write_now = proc & ~survive
 
-            pend_leaf_fin = jnp.where(ended_env, pend_leaf, 0.0)
+            # 3-field records (rec0 = leaf/l_dir by terminal, rec1 = w,
+            # rec2 = terminal): the pending record lands at d_lane-1, a
+            # terminal-now record at d_lane (different slots, so one lane
+            # can do both in one iteration). seln records are ALWAYS
+            # terminal (write_now = proc & ~survive), so their rec0 is the
+            # leaf; a selp record is terminal only when its bounce ray just
+            # ended the path (ended_env).
+            pend_r0 = jnp.where(ended_env, pend_leaf, pend_l)
             pend_term_fin = jnp.where(ended_env, 1.0, 0.0)
-
-            # 3. one-hot record writes: the pending record lands at
-            # d_lane-1, a terminal-now record at d_lane (different slots, so
-            # one lane can do both in one iteration).
             slot_p = d_lane - 1
             for k in range(max_bounces):
                 selp = has_pend & (slot_p == k)
                 seln = write_now & (d_lane == k)
                 rec_ref[k, 0] = jnp.where(
-                    seln, l_dir_m, jnp.where(selp, pend_l, rec_ref[k, 0])
+                    seln, leaf_now, jnp.where(selp, pend_r0, rec_ref[k, 0])
                 )
                 rec_ref[k, 1] = jnp.where(
                     seln, w_t, jnp.where(selp, pend_w, rec_ref[k, 1])
                 )
                 rec_ref[k, 2] = jnp.where(
-                    seln, leaf_now, jnp.where(selp, pend_leaf_fin, rec_ref[k, 2])
-                )
-                rec_ref[k, 3] = jnp.where(
-                    seln, 1.0, jnp.where(selp, pend_term_fin, rec_ref[k, 3])
+                    seln, 1.0, jnp.where(selp, pend_term_fin, rec_ref[k, 2])
                 )
 
             # primary-miss count: these lanes' radiance is deferred to the
@@ -1703,10 +1762,7 @@ def _mega_kernel_regen(
             )
 
             # 5. one shared intersect: bounce rays and fresh camera rays
-            h = _isect(o, d)
-            hit = h[:1] + (h[1].astype(jnp.float32),) + h[2:6] + (
-                h[6].astype(jnp.float32),
-            )
+            hit = _pack_hit(_isect(o, d))
             return (
                 o, d, hit, d_lane, s_new, has_pend_f, pend_l, pend_w,
                 pend_leaf, rad, rays,
@@ -1788,6 +1844,10 @@ def mega_tables(pack):
             pack.emt_mesh.astype(jnp.float32),
             pack.emt_intra_cum,
             pack.emt_mesh_area,
+            # inclusive cumulative area as a fraction of the mesh area: the
+            # kernel's intra-mesh pick compares sqrt(u) against this
+            # directly (no per-row mesh-area fetch)
+            pack.emt_intra_cum / jnp.maximum(pack.emt_mesh_area, 1e-20),
         ],
         axis=1,
     )
@@ -1916,6 +1976,7 @@ def trace_mega_block(
     interpret=False,
     regen=True,
     any_textured=True,
+    lane_stride=1,
 ):
     """One kernel dispatch over `n_lanes` lanes starting at `lane_offset`.
 
@@ -1933,7 +1994,8 @@ def trace_mega_block(
             jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(lane_offset, jnp.int32).reshape(1),
             jnp.asarray(spp, jnp.int32).reshape(1),
-            jnp.zeros(5, jnp.int32),
+            jnp.asarray(lane_stride, jnp.int32).reshape(1),
+            jnp.zeros(4, jnp.int32),
         ]
     )[None, :]
     kernel = functools.partial(
@@ -1974,7 +2036,7 @@ def trace_mega_block(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((max_bounces, 4, CH_ROWS, LANE), jnp.float32),
+            pltpu.VMEM((max_bounces, 3, CH_ROWS, LANE), jnp.float32),
             # the clustered occlusion fan parks one blocked-plane per NEE
             # sample in res_ref, so it needs >= n_dir_sample rows
             pltpu.VMEM(
@@ -2028,7 +2090,10 @@ def render_mega_sharded(
     per_dev = -(-lanes // (nd * CHUNK)) * CHUNK
     any_t = bool(np.asarray(pack.mat_textured).any())
     mesh = Mesh(np.array(devices), ("shard",))
-    offsets = jnp.arange(nd, dtype=jnp.int32) * per_dev
+    # Interleaved assignment: device d owns lanes d, d+nd, d+2nd, ... so
+    # every device samples the whole image (balanced work); the counter RNG
+    # keys on the absolute lane id, so results are assignment-invariant.
+    offsets = jnp.arange(nd, dtype=jnp.int32)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
     @functools.partial(
@@ -2056,13 +2121,14 @@ def render_mega_sharded(
                 pack_l,
                 camera,
                 seed_l,
-                off_l[0] + done,
+                off_l[0] + done * nd,
                 spp,
                 n,
                 max_bounces,
                 interpret,
                 regen,
                 any_t,
+                lane_stride=nd,
             )
             rads.append(r)
             rays.append(ry)
@@ -2077,12 +2143,20 @@ def render_mega_sharded(
     t0 = time.monotonic()
     with mesh:
         res = run(pack, offsets, seed_arr)
-    rad, rays = np.asarray(res[0]), res[1]
+    # De-interleave: device-major (nd, per_dev) -> lane-major flat.
+    def _delace(x):
+        return np.asarray(x).reshape(nd, per_dev).T.ravel()
+
+    rad = _delace(res[0])
+    rays = _delace(res[1])
     # Pad lanes trace real (wrapped-pixel) paths; count only image lanes.
-    total_rays = float(np.asarray(jnp.sum(rays[:lanes])))
+    total_rays = float(rays[:lanes].sum())
+    # Per-device TOTAL traced work (including wrapped-pad lanes): the
+    # work-imbalance diagnostic for the scaling benchmark.
+    per_dev_rays = np.asarray(res[1]).reshape(nd, per_dev).sum(axis=1)
     img = rad[:lanes].reshape(h, w, 3)
     if pack.use_env:
-        miss = np.asarray(res[2])
+        miss = _delace(res[2])
         env_mean = np.asarray(
             _primary_env_mean(pack, camera, spp, seed_arr)
         ).reshape(h, w, 3)
@@ -2093,6 +2167,8 @@ def render_mega_sharded(
         "rays": int(total_rays),
         "rays_per_s": total_rays / max(elapsed, 1e-9),
         "devices": nd,
+        "per_device_rays": per_dev_rays.tolist(),
+        "pad_lanes": int(nd * per_dev - lanes),
     }
     return img, stats
 

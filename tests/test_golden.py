@@ -1,7 +1,18 @@
 """Statistical golden-image parity vs the reference's checked-in render.
 
 The reference is not seed-controllable (SURVEY.md §5), so comparison is
-statistical: mean RGB and downscaled structural correlation at reduced spp.
+statistical, at three granularities (bounds calibrated against measured
+seed-to-seed noise at spp=48: per-tile |diff| p95 ≈ 9/255, max ≈ 13/255;
+quadrant-mean noise ≈ 1.5/255):
+
+- whole-image mean within 2.5/255 per channel + structural correlation —
+  tight enough that a 5% global shading bias (≈ +3.4/255 after gamma)
+  FAILS, which test_golden_detects_injected_bias verifies by injection;
+- every 12x12 tile mean within 16/255 (gross local errors);
+- every quadrant mean within 5/255 (the top-left quadrant carries a
+  measured ~4.3/255 systematic gap vs the golden — the reference's
+  default-seeded, correlated RNG draws (SURVEY.md §5) are not
+  reproducible — so the quadrant bound sits just above it).
 """
 
 import dataclasses
@@ -22,20 +33,65 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.slow
-def test_demo_matches_golden_statistics():
-    golden = read_png(GOLDEN)[:, :, :3].astype(np.float32)
+def _tiles(img, n=12):
+    return img.reshape(n, 96 // n, n, 96 // n, 3).mean(axis=(1, 3))
+
+
+def _quadrants(img):
+    return img.reshape(2, 48, 2, 48, 3).mean(axis=(1, 3))
+
+
+@pytest.fixture(scope="module")
+def rendered():
     sc = demo_scene()
     cam = dataclasses.replace(sc.camera, width=96, height=96)
     fb, _ = render_radiance(
         sc.compile(), cam, spp=48, max_bounces=8, method="dense", spp_chunk=16
     )
-    ours = tonemap(fb)[:, :, :3].astype(np.float32)
-    g = golden.reshape(96, 4, 96, 4, 3).mean(axis=(1, 3))
-    # Mean brightness within 4/255 per channel.
+    return fb
+
+
+@pytest.fixture(scope="module")
+def golden_small():
+    golden = read_png(GOLDEN)[:, :, :3].astype(np.float32)
+    return golden.reshape(96, 4, 96, 4, 3).mean(axis=(1, 3))
+
+
+@pytest.mark.slow
+def test_demo_matches_golden_statistics(rendered, golden_small):
+    ours = tonemap(rendered)[:, :, :3].astype(np.float32)
+    g = golden_small
+    # Mean brightness within 2.5/255 per channel (calibrated: current gap
+    # 0.3, seed noise ~0.8; a 5% shading bias shifts ~3.4).
     np.testing.assert_allclose(
-        ours.reshape(-1, 3).mean(axis=0), g.reshape(-1, 3).mean(axis=0), atol=4.0
+        ours.reshape(-1, 3).mean(axis=0), g.reshape(-1, 3).mean(axis=0), atol=2.5
     )
     # Structural correlation (noise at spp=48 bounds this from ~0.94).
     corr = np.corrcoef(g.ravel(), ours.ravel())[0, 1]
     assert corr > 0.9, corr
+
+
+@pytest.mark.slow
+def test_demo_golden_per_region(rendered, golden_small):
+    ours = tonemap(rendered)[:, :, :3].astype(np.float32)
+    g = golden_small
+    tile_d = np.abs(_tiles(ours) - _tiles(g)).max(-1)
+    assert tile_d.max() < 16.0, float(tile_d.max())
+    quad_d = np.abs(_quadrants(ours) - _quadrants(g)).max(-1)
+    assert quad_d.max() < 5.0, float(quad_d.max())
+
+
+@pytest.mark.slow
+def test_golden_detects_injected_bias(rendered, golden_small):
+    """The golden check must actually CATCH a 5% shading bug: inject a 5%
+    linear brightness error and assert the whole-mean bound fails
+    (sensitivity validation — a statistical test that cannot reject a
+    deliberate bug proves nothing)."""
+    bad = np.array(rendered, copy=True) * 1.05
+    ours = tonemap(bad)[:, :, :3].astype(np.float32)
+    dm = np.abs(
+        ours.reshape(-1, 3).mean(axis=0) - golden_small.reshape(-1, 3).mean(axis=0)
+    )
+    assert dm.max() >= 2.5, (
+        f"golden mean check failed to detect an injected 5% bias: {dm}"
+    )

@@ -90,7 +90,7 @@ def test_mega_tables_layout(pack):
     assert sph.shape[1] == 6
     assert mat.shape[1] == 13
     assert emt.shape[1] == 17  # 16 + is_sphere flag col
-    assert emeta.shape[1] == 3
+    assert emeta.shape[1] == 4  # mesh, intra_cum, mesh_area, intra_frac
     # pad rows of the light-mesh cumulative areas must be +inf-like
     assert float(np.asarray(lcum).min()) > 0.0
 
@@ -187,6 +187,49 @@ def test_mega_clustered_equals_smem_demo(pack, cam):
     diff = np.abs(a - b)
     assert (diff > 1e-3).mean() < 0.02, float((diff > 1e-3).mean())
     assert abs(a.mean() - b.mean()) < 5e-3
+
+
+def test_mega_many_light_tessellated(pack, cam):
+    """A 64-triangle tessellated ceiling light: the kernel's emitter pick is
+    a lax.fori over emitter rows (compile-flat in E), and must match the
+    wavefront integrator's searchsorted pick statistically."""
+    from mcpt_tpu.builtin_scenes import CORNELL_FLOOR, _mesh
+    from mcpt_tpu.materials import make_light_material, standard_materials
+    from mcpt_tpu.scene import Scene, TriangleMesh
+
+    # tessellate the Cornell light quad into an 8x4 grid (64 tris)
+    x0, x1, z0, z1, y = 213.0, 343.0, 227.0, 332.0, 548.7
+    xs = np.linspace(x0, x1, 9)
+    zs = np.linspace(z0, z1, 5)
+    tris = []
+    for i in range(8):
+        for j in range(4):
+            a = [xs[i], y, zs[j]]
+            b = [xs[i + 1], y, zs[j]]
+            c = [xs[i + 1], y, zs[j + 1]]
+            d = [xs[i], y, zs[j + 1]]
+            tris.append([a, b, c])
+            tris.append([a, c, d])
+    light = TriangleMesh(
+        np.asarray(tris, np.float32),
+        np.zeros((64, 3, 2), np.float32),
+        make_light_material(3.9),
+        "tess_light",
+    )
+    mats = standard_materials()
+    sc = Scene(demo_scene().camera)
+    sc.add(_mesh(CORNELL_FLOOR, mats["rough_white_conductor"], "walls"))
+    sc.add(light)
+    p = sc.compile()
+    assert p.n_emitters == 64
+    img, _ = render_mega(pack=p, camera=cam, spp=8, seed=0, max_bounces=3,
+                         interpret=True)
+    ref, _ = render_radiance(
+        p, cam, 16, method="dense", max_bounces=3, tile_pixels=W * H
+    )
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
+    assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.3
 
 
 def test_occluder_cull_is_lossless(pack, cam):
