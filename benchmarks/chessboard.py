@@ -38,9 +38,12 @@ MODELS = os.environ.get("MCPT_MODELS_DIR", "/root/reference/models")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SKY = os.path.join(REPO, "assets", "sky.png")
 
-# Estimated from the dark golden's own background band (top rows ≈ 40/255
-# after gamma 0.45 → ~0.016 linear, warm-tinted).
-DARK_BG = [0.017, 0.015, 0.013]
+# Estimated from the dark golden's own top background band: mean
+# (65.9, 61.1, 56.2)/255 display → linear^(1/0.45) ≈ (0.049, 0.042, 0.035).
+# The golden's true env is an (unpublished) gradient with a top-center
+# halo; a flat color matches its mean level only, so the golden test
+# compares background-subtracted structure (test_golden_chessboard.py).
+DARK_BG = [0.049, 0.042, 0.035]
 
 
 def chessboard_conf(variant: str, width=1920, height=1080, spp=256):
