@@ -28,6 +28,14 @@ def main(argv=None):
     p.add_argument("--max-bounces", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--method", default="auto", choices=["auto", "pallas", "dense", "bvh"])
+    p.add_argument(
+        "--engine",
+        default="auto",
+        choices=["auto", "mega", "wavefront"],
+        help="auto picks the single-Pallas-kernel megakernel whenever the "
+        "scene supports it (all reference scene classes do); wavefront is "
+        "the tile-based oracle path (supports --checkpoint resume)",
+    )
     p.add_argument("--checkpoint", default=None, help="resumable render state file")
     p.add_argument(
         "--no-strict-parity",
@@ -66,22 +74,48 @@ def main(argv=None):
     out = args.out if args.out is not None else opts["output"]
 
     print(f"SPP: {spp}")
-    fb, stats = render(
-        scene,
-        cam,
-        spp,
-        key=jax.random.key(args.seed),
-        out_path=out,
-        max_bounces=args.max_bounces,
-        method=args.method,
-        progress=True,
-        checkpoint_path=args.checkpoint,
-    )
+    engine = args.engine
+    if engine in ("auto", "mega") and not args.checkpoint:
+        from mcpt_tpu.kernels.megakernel import mega_supported, render_mega
+
+        pack = scene.compile()
+        if mega_supported(pack):
+            engine = "mega"
+            from mcpt_tpu.film import save_png
+
+            fb, stats = render_mega(
+                pack, cam, spp, seed=args.seed, max_bounces=args.max_bounces
+            )
+            if out:
+                save_png(out, fb)
+            stats.setdefault(
+                "wavelength_paths_per_s",
+                stats["wavelength_paths"] / max(stats["elapsed_s"], 1e-9),
+            )
+        elif args.engine == "mega":
+            p.error("scene not supported by the megakernel")
+        else:
+            engine = "wavefront"
+    else:
+        engine = "wavefront"
+    if engine == "wavefront":
+        fb, stats = render(
+            scene,
+            cam,
+            spp,
+            key=jax.random.key(args.seed),
+            out_path=out,
+            max_bounces=args.max_bounces,
+            method=args.method,
+            progress=True,
+            checkpoint_path=args.checkpoint,
+        )
     print(f"Writing image to {out}")
     print(
         f"Rendering finished in {format_duration(stats['elapsed_s'])} "
         f"({stats['rays_per_s']:.3e} rays/s, "
-        f"{stats['wavelength_paths_per_s']:.3e} wavelength-paths/s)"
+        f"{stats['wavelength_paths_per_s']:.3e} wavelength-paths/s, "
+        f"engine={engine})"
     )
     return 0
 

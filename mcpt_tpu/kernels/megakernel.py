@@ -892,9 +892,14 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
                 chan == 0, row[12], jnp.where(chan == 1, row[13], row[14])
             )
             delta = _sub(lp, p_dl)
-            # dist stays sqrt-then-divide (NOT rsqrt): the |t − dist| < EPS
-            # visibility test is ULP-marginal at scene scale and must match
-            # the wavefront path.
+            # dist stays sqrt-then-divide (NOT rsqrt): it feeds the
+            # occlusion fans' `t < dist − ε` bound, which is ULP-marginal
+            # at scene scale. NOTE the megakernel fans (SMEM and clustered)
+            # intentionally use the robust "any blocker strictly closer"
+            # predicate rather than the wavefront/reference
+            # |t_nearest − dist| < ε form, which loses grazing samples to
+            # float error on TPU (PARITY.md row 3); megakernel-vs-wavefront
+            # comparisons are therefore statistical, not bitwise.
             dist = jnp.sqrt(jnp.maximum(_dot(delta, delta), 1e-20))
             inv_dist = 1.0 / dist
             ws = _scale(delta, inv_dist)
