@@ -126,17 +126,19 @@ def main():
 
         from mcpt_tpu.render import render_radiance
 
-        # 64x36 x spp512 has the same sample count (3.5M camera samples) as
-        # 480x270 x spp32, but keeps each wavefront dispatch under ~7k
-        # lanes: XLA's native dynamic-gather over the ~19k-row BVH table
-        # reproducibly crashes the TPU worker at >=49k-lane dispatches
-        # (environment bug — the identical program runs on CPU; see
-        # PERF.md "wavefront big-scene gathers").
-        cam_s = dataclasses.replace(sc.camera, width=64, height=36)
-        img_m, st_m = render_mega(pack, cam_s, 512, seed=0, max_bounces=args.mb)
+        # 192x108 x spp256 = 5.3M camera samples (more than 480x270 x
+        # spp32) while keeping each WAVEFRONT dispatch at 6912 lanes
+        # (2304-pixel tiles): XLA's native dynamic-gather over the ~19k-row
+        # BVH table reproducibly crashes the TPU worker at >=49k-lane
+        # dispatches (environment bug — the identical program runs on CPU;
+        # see PERF.md "wavefront big-scene gathers"). 192x108 also reuses
+        # the megakernel block shape cached by the scaling/repro runs, so
+        # no fresh multi-minute remote Mosaic compile is queued.
+        cam_s = dataclasses.replace(sc.camera, width=192, height=108)
+        img_m, st_m = render_mega(pack, cam_s, 256, seed=0, max_bounces=args.mb)
         img_w, st_w = render_radiance(
-            pack, cam_s, 512, max_bounces=args.mb, key=jax.random.key(0),
-            tile_pixels=64 * 36,
+            pack, cam_s, 256, max_bounces=args.mb, key=jax.random.key(0),
+            tile_pixels=2304,
         )
         dev = abs(float(img_m.mean()) - float(img_w.mean())) / max(
             float(img_w.mean()), 1e-9

@@ -127,15 +127,15 @@ def direct_lighting_c(pack, key, wo, p, n, uv, m, lam, chan, is_reflect, method)
         sh_t = occlude_t_c(pack, flat(p_sb), flat(ws), method=method)
         sh_t = sh_t.reshape(s, b)
         # Occluder test. The reference uses |t_nearest − dist| < EPSILON
-        # (Scene.cpp:73-75), which is only ~2 f32 ULPs wide at scene scale —
-        # fine when t and dist share one compiler's rounding, but on TPU the
-        # Pallas kernel's t and XLA's dist disagree by > EPSILON for ~6% of
-        # genuinely visible samples (measured: TPU renders 6% darker than
-        # CPU on identical RNG streams). The equivalent robust form — "no
-        # hit strictly closer than the light sample" — differs from the
-        # reference only when the shadow ray numerically grazes PAST the
-        # sampled light point (measure-zero; reference calls it occluded).
-        visible = sh_t >= dist - EPSILON
+        # (Scene.cpp:73-75) with DOUBLE t (Intersection.hpp:16); in f32 an
+        # absolute 1e-4 is below one ULP once dist exceeds ~1700 (the
+        # chessboard light sits 1500-2500 units away), so the shadow ray's
+        # own hit ON the light loses the comparison for ~5% of genuinely
+        # visible samples (measured). The robust, scale-free form: no hit
+        # strictly closer than the light sample by a RELATIVE margin. It
+        # differs from the reference only for blockers within eps·dist of
+        # the light surface — geometry effectively ON the light.
+        visible = sh_t >= dist - EPSILON * jnp.maximum(1.0, dist)
     else:
         visible = jnp.ones((s, b), bool)
 
@@ -209,7 +209,19 @@ def trace_paths_c(
         kr = fresnel_c(m, d, mfn, lam)
 
         # NEE from the ε-offset point (Scene.cpp:113-119).
-        p_dl = add3(surf.p, scale3(surf.n, jnp.float32(EPSILON)))
+        # Self-intersection offset, SCALE-RELATIVE: the reference offsets
+        # by an absolute EPSILON in double (Scene.cpp:113-128) where 1e-4 is
+        # always many ULPs; in f32 at chessboard-scale coordinates (~2e3)
+        # 1e-4 is BELOW one ULP and the offset vanishes, letting shadow and
+        # bounce rays re-hit their own surface on a rounding coin-flip.
+        off_scale = EPSILON * jnp.maximum(
+            1.0,
+            jnp.maximum(
+                jnp.abs(surf.p[0]),
+                jnp.maximum(jnp.abs(surf.p[1]), jnp.abs(surf.p[2])),
+            ),
+        )
+        p_dl = add3(surf.p, scale3(surf.n, off_scale))
         inner = dot3(wo, surf.n) < 0.0
         l_dir_raw = direct_lighting_c(
             pack,
@@ -232,7 +244,7 @@ def trace_paths_c(
         womfn = dot3(wo, mfn)
         sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
         sign = jnp.where(branch_reflect, sign_reflect, -sign_reflect)
-        p_new = add3(surf.p, scale3(surf.n, EPSILON * sign))
+        p_new = add3(surf.p, scale3(surf.n, off_scale * sign))
 
         wi = where3(
             branch_reflect,

@@ -63,9 +63,12 @@ def pick_leaf_size(n_tris: int) -> int:
         return int(override)
     for leaf in (8, 16, 32, 64, 128):
         # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves ~60-100% full;
-        # keep the serial walk under ~1.5k nodes when possible
+        # keep the serial walk under ~2.5k nodes when possible (the 1080p
+        # chessboard sweep measured leaf 64 fastest; leaf 128 was slower
+        # AND its small-lane-count compiles wedge the remote Mosaic
+        # service in this image)
         nodes = 2 * (2 * n_tris // leaf + 1)
-        if nodes <= min(NODES_PER_ROW * MAX_NODE_ROWS, 1500):
+        if nodes <= min(NODES_PER_ROW * MAX_NODE_ROWS, 2500):
             return leaf
     if 2 * (2 * n_tris // 128 + 1) <= NODES_PER_ROW * MAX_NODE_ROWS:
         return 128
@@ -224,7 +227,12 @@ def cluster_occlude_fan(
     zero = jnp.zeros((CH_SUB, 128), jnp.float32)
     for si in range(s_cnt):
         res_ref[si] = zero
-    xs = [dists[si] - EPSILON for si in range(s_cnt)]
+    # relative epsilon: f32-safe at any light distance (see the wavefront
+    # visibility comment in integrator.direct_lighting_c)
+    xs = [
+        dists[si] - EPSILON * jnp.maximum(1.0, dists[si])
+        for si in range(s_cnt)
+    ]
     dinv = [
         (1.0 / ds[si][0], 1.0 / ds[si][1], 1.0 / ds[si][2])
         for si in range(s_cnt)

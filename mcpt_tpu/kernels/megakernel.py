@@ -431,7 +431,12 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds, dists):
     # Carried masks are f32 0/1 (via max-accumulate): Mosaic fails to
     # legalize fori_loop yields of i1 vectors.
     blocked0 = [jnp.zeros(shape, jnp.float32) for _ in range(s_cnt)]
-    xs = [dists[si] - EPSILON for si in range(s_cnt)]
+    # relative epsilon: f32-safe at any light distance (see the wavefront
+    # visibility comment in integrator.direct_lighting_c)
+    xs = [
+        dists[si] - EPSILON * jnp.maximum(1.0, dists[si])
+        for si in range(s_cnt)
+    ]
 
     def tri_body(i, blocked):
         w20 = tri_ref[i, 6]
@@ -799,7 +804,13 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
 
     # ---- NEE (Scene.cpp:56-82,113-119): sample all S lights first, occlude
     # the whole shadow fan in ONE shared-origin primitive loop, then shade.
-    p_dl = _add(p, _scale(n, jnp.float32(EPSILON)))
+    # scale-relative self-intersection offset (see integrator.trace_paths:
+    # absolute 1e-4 is sub-ULP at large scene coordinates in f32)
+    off_scale = EPSILON * jnp.maximum(
+        1.0,
+        jnp.maximum(jnp.abs(p[0]), jnp.maximum(jnp.abs(p[1]), jnp.abs(p[2]))),
+    )
+    p_dl = _add(p, _scale(n, off_scale))
     inner = _dot(wo, n) < 0.0
     refl = _reflectance(m, uv) if ctx["textured"] else m["refl"]
     x = lam  # shape/dtype template
@@ -939,7 +950,7 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     womfn = _dot(wo, mfn)
     sign_reflect = jnp.where(womfn < 0.0, -1.0, 1.0)
     sign = jnp.where(branch_reflect, sign_reflect, -sign_reflect)
-    p_new = _add(p, _scale(n, EPSILON * sign))
+    p_new = _add(p, _scale(n, off_scale * sign))
     wi = _where3(branch_reflect, _reflect(wo, mfn), _refract(ior, d, mfn))
 
     if "bounce_eval" in ablate:  # perf-debug: constant bounce BSDF/pdf
