@@ -10,6 +10,14 @@ import numpy as np
 # half-vector tests and shadow-distance matching (reference: Renderer.cpp:15).
 EPSILON = 1e-4
 
+# f32 scale guard for the shadow epsilons: the reference's absolute 1e-4
+# works in its double arithmetic at any scene scale, but falls below one
+# f32 ULP once coordinates/distances exceed ~1.7e3. Effective epsilon =
+# max(EPSILON, REL_EPS * scale) = ~34 f32 ULPs of the quantity — large
+# enough to absorb Woop/Moller-Trumbore rounding noise, geometrically
+# negligible (8e-3 units at chessboard scale).
+REL_EPS = 4e-6
+
 # Firefly clamps applied per path vertex (reference: Scene.cpp:180-182).
 CLAMP_INDIRECT = 5.0
 CLAMP_DIRECT = 15.0

@@ -56,7 +56,7 @@ from mcpt_tpu.bsdf import (
     refract_c,
     sample_mfn_c,
 )
-from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, T_MAX
+from mcpt_tpu.constants import CLAMP_DIRECT, CLAMP_INDIRECT, EPSILON, REL_EPS, T_MAX
 from mcpt_tpu.envmap import sample_env_chan_c
 from mcpt_tpu.intersect import Hit, intersect_c, occlude_t_c, surface_at_c
 from mcpt_tpu.lights import sample_light_c
@@ -135,7 +135,7 @@ def direct_lighting_c(pack, key, wo, p, n, uv, m, lam, chan, is_reflect, method)
         # strictly closer than the light sample by a RELATIVE margin. It
         # differs from the reference only for blockers within eps·dist of
         # the light surface — geometry effectively ON the light.
-        visible = sh_t >= dist - EPSILON * jnp.maximum(1.0, dist)
+        visible = sh_t >= dist - jnp.maximum(EPSILON, REL_EPS * dist)
     else:
         visible = jnp.ones((s, b), bool)
 
@@ -214,9 +214,10 @@ def trace_paths_c(
         # always many ULPs; in f32 at chessboard-scale coordinates (~2e3)
         # 1e-4 is BELOW one ULP and the offset vanishes, letting shadow and
         # bounce rays re-hit their own surface on a rounding coin-flip.
-        off_scale = EPSILON * jnp.maximum(
-            1.0,
-            jnp.maximum(
+        off_scale = jnp.maximum(
+            EPSILON,
+            REL_EPS
+            * jnp.maximum(
                 jnp.abs(surf.p[0]),
                 jnp.maximum(jnp.abs(surf.p[1]), jnp.abs(surf.p[2])),
             ),

@@ -157,7 +157,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-from mcpt_tpu.constants import EPSILON, T_MAX
+from mcpt_tpu.constants import EPSILON, REL_EPS, T_MAX
 
 # res_ref field rows
 R_T, R_N0, R_N1, R_N2, R_UVX, R_UVY, R_MAT, R_EM, R_SPH = range(9)
@@ -230,7 +230,7 @@ def cluster_occlude_fan(
     # relative epsilon: f32-safe at any light distance (see the wavefront
     # visibility comment in integrator.direct_lighting_c)
     xs = [
-        dists[si] - EPSILON * jnp.maximum(1.0, dists[si])
+        dists[si] - jnp.maximum(EPSILON, REL_EPS * dists[si])
         for si in range(s_cnt)
     ]
     dinv = [

@@ -57,6 +57,7 @@ from mcpt_tpu.constants import (
     CLAMP_DIRECT,
     CLAMP_INDIRECT,
     EPSILON,
+    REL_EPS,
     T_MAX,
     WAVELEN_UM,
 )
@@ -434,7 +435,7 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds, dists):
     # relative epsilon: f32-safe at any light distance (see the wavefront
     # visibility comment in integrator.direct_lighting_c)
     xs = [
-        dists[si] - EPSILON * jnp.maximum(1.0, dists[si])
+        dists[si] - jnp.maximum(EPSILON, REL_EPS * dists[si])
         for si in range(s_cnt)
     ]
 
@@ -806,9 +807,12 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
     # the whole shadow fan in ONE shared-origin primitive loop, then shade.
     # scale-relative self-intersection offset (see integrator.trace_paths:
     # absolute 1e-4 is sub-ULP at large scene coordinates in f32)
-    off_scale = EPSILON * jnp.maximum(
-        1.0,
-        jnp.maximum(jnp.abs(p[0]), jnp.maximum(jnp.abs(p[1]), jnp.abs(p[2]))),
+    off_scale = jnp.maximum(
+        EPSILON,
+        REL_EPS
+        * jnp.maximum(
+            jnp.abs(p[0]), jnp.maximum(jnp.abs(p[1]), jnp.abs(p[2]))
+        ),
     )
     p_dl = _add(p, _scale(n, off_scale))
     inner = _dot(wo, n) < 0.0
