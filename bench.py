@@ -82,13 +82,28 @@ def main():
             pack, cam, spp, seed=7, max_bounces=max_bounces
         )
         log(f"warmup (compile + full render): {time.monotonic() - t0:.1f}s")
-        _, stats = render_mega(
-            pack, cam, spp, seed=1, max_bounces=max_bounces
-        )
+        # The official number must be robust to chip contention / remote
+        # queue noise (BENCH_r03 swung 1.7x on one noisy render): run
+        # several timed renders and report the MEDIAN.  Every repeat uses
+        # the identical compiled shape, so no recompiles enter the timing.
+        n_rep = int(os.environ.get("BENCH_REPEATS", "3"))
+        samples = []
+        for rep in range(n_rep):
+            _, stats = render_mega(
+                pack, cam, spp, seed=1 + rep, max_bounces=max_bounces
+            )
+            samples.append(stats["rays_per_s"])
+            log(
+                f"timed render {rep + 1}/{n_rep}: {stats['elapsed_s']:.2f}s "
+                f"rays={stats['rays']} -> {stats['rays_per_s']:.3e} rays/s"
+            )
+        samples.sort()
+        rays_per_s = samples[len(samples) // 2]
+        spread = (samples[-1] - samples[0]) / rays_per_s if rays_per_s else 0.0
         log(
-            f"timed render: {stats['elapsed_s']:.2f}s rays={stats['rays']}"
+            f"median {rays_per_s:.3e} rays/s  min {samples[0]:.3e}  "
+            f"max {samples[-1]:.3e}  spread {100 * spread:.1f}%"
         )
-        rays_per_s = stats["rays_per_s"]
 
     print(
         json.dumps(

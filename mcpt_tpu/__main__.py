@@ -75,6 +75,12 @@ def main(argv=None):
 
     print(f"SPP: {spp}")
     engine = args.engine
+    if engine == "mega" and args.checkpoint:
+        p.error(
+            "--engine mega does not support --checkpoint "
+            "(use --engine wavefront for resumable renders)"
+        )
+    pack = None
     if engine in ("auto", "mega") and not args.checkpoint:
         from mcpt_tpu.kernels.megakernel import mega_supported, render_mega
 
@@ -99,8 +105,9 @@ def main(argv=None):
     else:
         engine = "wavefront"
     if engine == "wavefront":
+        # reuse the pack if the auto path already compiled the scene
         fb, stats = render(
-            scene,
+            pack if pack is not None else scene,
             cam,
             spp,
             key=jax.random.key(args.seed),

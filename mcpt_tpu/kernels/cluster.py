@@ -60,7 +60,19 @@ def pick_leaf_size(n_tris: int) -> int:
 
     override = os.environ.get("MCPT_CLUSTER_LEAF")
     if override:
-        return int(override)
+        leaf = int(override)
+        if leaf not in (8, 16, 32, 64, 128):
+            raise ValueError(
+                f"MCPT_CLUSTER_LEAF={override!r}: must be one of 8/16/32/64/128"
+            )
+        nodes = 2 * (2 * n_tris // leaf + 1)
+        if nodes > NODES_PER_ROW * MAX_NODE_ROWS:
+            raise ValueError(
+                f"MCPT_CLUSTER_LEAF={leaf} needs ~{nodes} BVH nodes for "
+                f"{n_tris} tris, over the {NODES_PER_ROW * MAX_NODE_ROWS} "
+                "SMEM node budget — use a larger leaf size"
+            )
+        return leaf
     for leaf in (8, 16, 32, 64, 128):
         # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves ~60-100% full;
         # keep the serial walk under ~2.5k nodes when possible (the 1080p

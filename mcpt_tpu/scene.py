@@ -526,7 +526,16 @@ class Scene:
         if 0 < n_tris <= 1024:
             pts = pos.reshape(-1, 3).astype(np.float64)
             diag = float(np.linalg.norm(pts.max(0) - pts.min(0)))
-            eps_o = max(1e-3, 1e-5 * diag, 4.0 * EPSILON)
+            # The margin must dominate the kernel's scale-relative shadow
+            # -origin offset max(EPSILON, REL_EPS*max|p|) (constants.REL_EPS)
+            # or a small scene far from the origin could offset a shadow
+            # origin past a culled boundary plane and leak light.
+            from mcpt_tpu.constants import REL_EPS as _REL_EPS
+
+            coord_max = float(np.abs(pts).max()) if pts.size else 0.0
+            eps_o = max(
+                1e-3, 1e-5 * diag, 4.0 * EPSILON, 2.0 * _REL_EPS * coord_max
+            )
             nrm = n_unit[:n_tris].astype(np.float64)
             dpl = np.einsum("td,td->t", nrm, v0[:n_tris].astype(np.float64))
             s = pts @ nrm.T - dpl[None, :]  # (P, T) signed distances
