@@ -27,9 +27,14 @@ native builder), with prims permuted into leaf order.
 import numpy as np
 
 # SMEM node-table budget: rows are 512 B strided; keep under ~0.93 MB.
-MAX_NODE_ROWS = 1860  # 8 nodes/row -> 14,880 nodes
-NODES_PER_ROW = 8
-NODE_COLS = 16  # [min3, max3, miss, n_tiles, tile_base, pad...]
+# Nodes pack 12-per-row at 10 columns each (cols 120-127 unused); node
+# addresses are stored PREMULTIPLIED as enc = row*128 + (n%12)*10 in the
+# hit/miss link columns, so the walk decodes row/col with one shift+mask
+# and never divides. 22,320 nodes cover ~350k tris at leaf 64 (the
+# high-quality chessboard's ~296k fits without the leaf-128 fallback).
+MAX_NODE_ROWS = 1860
+NODES_PER_ROW = 12
+NODE_COLS = 10  # [min3, max3, miss_enc, hit_enc, n_tiles, tile_base]
 TILE = 8  # triangles per cluster tile (sublane dimension)
 CH_SUB = 8  # sublane rowgroups per (8, 128) ray chunk
 
@@ -59,6 +64,7 @@ def pick_leaf_size(n_tris: int) -> int:
     import os
 
     override = os.environ.get("MCPT_CLUSTER_LEAF")
+    budget = NODES_PER_ROW * MAX_NODE_ROWS
     if override:
         leaf = int(override)
         if leaf not in (8, 16, 32, 64, 128):
@@ -66,11 +72,11 @@ def pick_leaf_size(n_tris: int) -> int:
                 f"MCPT_CLUSTER_LEAF={override!r}: must be one of 8/16/32/64/128"
             )
         nodes = 2 * (2 * n_tris // leaf + 1)
-        if nodes > NODES_PER_ROW * MAX_NODE_ROWS:
+        if nodes > budget:
             raise ValueError(
                 f"MCPT_CLUSTER_LEAF={leaf} needs ~{nodes} BVH nodes for "
-                f"{n_tris} tris, over the {NODES_PER_ROW * MAX_NODE_ROWS} "
-                "SMEM node budget — use a larger leaf size"
+                f"{n_tris} tris, over the {budget} SMEM node budget — use "
+                "a larger leaf size"
             )
         return leaf
     for leaf in (8, 16, 32, 64, 128):
@@ -80,10 +86,13 @@ def pick_leaf_size(n_tris: int) -> int:
         # AND its small-lane-count compiles wedge the remote Mosaic
         # service in this image)
         nodes = 2 * (2 * n_tris // leaf + 1)
-        if nodes <= min(NODES_PER_ROW * MAX_NODE_ROWS, 2500):
+        if nodes <= min(budget, 2500):
             return leaf
-    if 2 * (2 * n_tris // 128 + 1) <= NODES_PER_ROW * MAX_NODE_ROWS:
-        return 128
+    for leaf in (32, 64, 128):
+        # very large scenes: the smallest leaf whose node table fits SMEM
+        # (prefer 64 over 128 — see the Mosaic-wedge note above)
+        if 2 * (2 * n_tris // leaf + 1) <= budget:
+            return leaf
     raise ValueError(f"scene too large for cluster tables: {n_tris} tris")
 
 
@@ -148,15 +157,28 @@ def build_cluster_tables(
             else np.zeros((TILE, 8), np.float32)
         )
 
-    # Pack nodes 8-per-row: node n -> row n//8, col (n%8)*16 + k.
+    # Pack nodes 12-per-row at 10 cols (SMEM rows are 128 floats; cols
+    # 120-127 unused). Link columns store PREMULTIPLIED addresses
+    # enc(n) = (n//12)*128 + (n%12)*10 (exact in f32: < 2^24), enc(-1) = -1,
+    # so the walk decodes row = enc>>7, col = enc&127 — no integer divide.
+    def enc(n):
+        return np.where(n < 0, -1.0, (n // 12) * 128 + (n % 12) * 10).astype(
+            np.float32
+        )
+
     rows = -(-n_nodes // NODES_PER_ROW)
-    nodes = np.zeros((rows, NODES_PER_ROW * NODE_COLS), np.float32)
-    flatn = nodes.reshape(rows * NODES_PER_ROW, NODE_COLS)
-    flatn[:n_nodes, 0:3] = node_min
-    flatn[:n_nodes, 3:6] = node_max
-    flatn[:n_nodes, 6] = miss.astype(np.float32)
-    flatn[:n_nodes, 7] = n_tiles_of
-    flatn[:n_nodes, 8] = tile_base
+    nodes = np.zeros((rows, 128), np.float32)
+    idx = np.arange(n_nodes)
+    r_i = idx // NODES_PER_ROW
+    c_i = (idx % NODES_PER_ROW) * NODE_COLS
+    for k in range(3):
+        nodes[r_i, c_i + k] = node_min[:, k]
+        nodes[r_i, c_i + 3 + k] = node_max[:, k]
+    nodes[r_i, c_i + 6] = enc(miss)
+    nxt = np.where(idx + 1 < n_nodes, idx + 1, -1)
+    nodes[r_i, c_i + 7] = enc(nxt)  # DFS-next (descend target; leaf: unused)
+    nodes[r_i, c_i + 8] = n_tiles_of
+    nodes[r_i, c_i + 9] = tile_base
     return ClusterTables(nodes, tris, uv, n_nodes, n_tiles, any_textured)
 
 
@@ -353,8 +375,9 @@ def cluster_occlude_fan(
         return n >= 0
 
     def body(n):
-        row = n >> 3
-        c0 = (n & 7) * NODE_COLS
+        # n is the premultiplied node address enc = row*128 + col
+        row = n >> 7
+        c0 = n & 127
         mn0 = cn_ref[row, c0 + 0]
         mn1 = cn_ref[row, c0 + 1]
         mn2 = cn_ref[row, c0 + 2]
@@ -362,8 +385,9 @@ def cluster_occlude_fan(
         mx1 = cn_ref[row, c0 + 4]
         mx2 = cn_ref[row, c0 + 5]
         miss = cn_ref[row, c0 + 6].astype(jnp.int32)
-        n_tiles = cn_ref[row, c0 + 7].astype(jnp.int32)
-        tbase = cn_ref[row, c0 + 8].astype(jnp.int32)
+        hit_enc = cn_ref[row, c0 + 7].astype(jnp.int32)
+        n_tiles = cn_ref[row, c0 + 8].astype(jnp.int32)
+        tbase = cn_ref[row, c0 + 9].astype(jnp.int32)
 
         # per-sample slab tests; union mask over samples drives descent,
         # and per-sample bitmask smask skips settled samples at leaves
@@ -411,7 +435,7 @@ def cluster_occlude_fan(
                         0, n_tiles, leaf_rowgroup(rg, tbase, smask), 0
                     )
 
-        return jnp.where(any_hit & (n_tiles == 0), n + 1, miss)
+        return jnp.where(any_hit & (n_tiles == 0), hit_enc, miss)
 
     lax.while_loop(cond, body, jnp.int32(0))
     return [res_ref[si] < 0.5 for si in range(s_cnt)]
@@ -599,8 +623,9 @@ def cluster_query_chunk(
         return n >= 0
 
     def body(n):
-        row = n >> 3
-        c0 = (n & 7) * NODE_COLS
+        # n is the premultiplied node address enc = row*128 + col
+        row = n >> 7
+        c0 = n & 127
         mn0 = cn_ref[row, c0 + 0]
         mn1 = cn_ref[row, c0 + 1]
         mn2 = cn_ref[row, c0 + 2]
@@ -608,8 +633,9 @@ def cluster_query_chunk(
         mx1 = cn_ref[row, c0 + 4]
         mx2 = cn_ref[row, c0 + 5]
         miss = cn_ref[row, c0 + 6].astype(jnp.int32)
-        n_tiles = cn_ref[row, c0 + 7].astype(jnp.int32)
-        tbase = cn_ref[row, c0 + 8].astype(jnp.int32)
+        hit_enc = cn_ref[row, c0 + 7].astype(jnp.int32)
+        n_tiles = cn_ref[row, c0 + 8].astype(jnp.int32)
+        tbase = cn_ref[row, c0 + 9].astype(jnp.int32)
 
         va0 = (mn0 - o0) * dinv0
         vb0 = (mx0 - o0) * dinv0
@@ -645,7 +671,7 @@ def cluster_query_chunk(
                         0, n_tiles, leaf_rowgroup(rg, n_tiles, tbase), 0
                     )
 
-        nxt = jnp.where(any_hit & (n_tiles == 0), n + 1, miss)
+        nxt = jnp.where(any_hit & (n_tiles == 0), hit_enc, miss)
         if occlusion and dist is not None:
             # abandon once every ray is blocked closer than its light
             # sample; t only changes at leaves, so check there only.

@@ -82,6 +82,13 @@ CHUNK = CH_ROWS * LANE  # 1024 lanes per inner chunk
 MEGA_LANES = 1 << 20  # lanes per pallas_call (VMEM: 2 out planes = 8 MB)
 MEGA_MAX_TRIS = 1024  # SMEM triangle-table budget ((1024, 25) f32 = 100 KB)
 
+# Forward-fold constants (regen kernel): the identity map's C (any value
+# ≥ a+5 ≈ 20 works — after the first compose C ≤ 20 always) and the cap on
+# the composed weight product W (prevents inf/NaN in W·leaf for pathological
+# w chains; the cap only binds where the map is saturated anyway).
+FOLD_BIG = 1.0e30
+FOLD_W_CAP = 1.0e30
+
 # In-kernel environment-map mip (secondary bounces only; primary misses are
 # shaded full-res by a deferred pass — see render_mega). 16x32 equirect
 # texels = 11.25° each; K must be a multiple of 128 lanes.
@@ -105,7 +112,15 @@ _U = jnp.uint32
 # ---------------------------------------------------------------------------
 
 
+# Perf-debug only (MCPT_MEGA_ABLATE=rng): degrade the murmur finalizer to
+# identity to measure the RNG's share of kernel time (draw values still vary
+# via the multiplicative key mix, but are NOT uniform-quality).
+_RNG_CHEAP = "rng" in os.environ.get("MCPT_MEGA_ABLATE", "")
+
+
 def _murmur(x):
+    if _RNG_CHEAP:
+        return x
     x = x ^ (x >> _U(16))
     x = x * _U(0x85EBCA6B)
     x = x ^ (x >> _U(13))
@@ -243,6 +258,44 @@ def _env_mip_lookup(env_ref, wi, is_r, is_g, is_b):
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
+
+def _lane_to_pixel(lane, cam):
+    """(virtual lane) -> (actual pixel id, channel, fi, fj, actual lane).
+
+    Without tiling the virtual lane IS pixel*3+chan (pixel-major scanline
+    order: a 1024-lane chunk covers a ~341x1 pixel strip). With cam["tile"]
+    = (TW, TH, TPR) the virtual pixel axis is permuted into TWxTH image
+    tiles (row-major tiles over a padded W=TPR*TW grid), so each chunk's
+    rays originate from a COMPACT 2-D pixel block — on clustered (big-BVH)
+    scenes the union of BVH nodes a chunk's walk must visit shrinks with
+    the chunk's spatial footprint, which bounds big-scene throughput (see
+    PERF.md). RNG keys and camera math use the ACTUAL pixel/lane ids, so
+    tiled and untiled renders are bitwise identical; the host scatters the
+    virtually-ordered output planes back to image order (render_mega).
+    """
+    vp = lane // 3
+    chan = lane - vp * 3
+    tile = cam.get("tile")
+    if tile is None:
+        pix = vp
+        fi = (pix % cam["width"]).astype(jnp.float32)
+        fj = (pix // cam["width"]).astype(jnp.float32)
+        return pix, chan, fi, fj, lane
+    tw, th, tpr = tile
+    tidx = vp // (tw * th)
+    wp = vp - tidx * (tw * th)
+    ty = tidx // tpr
+    tx = tidx - ty * tpr
+    yi = wp // tw
+    xi = wp - yi * tw
+    i = tx * tw + xi
+    j = ty * th + yi
+    pix = j * cam["width"] + i
+    return (
+        pix, chan, i.astype(jnp.float32), j.astype(jnp.float32),
+        pix * 3 + chan,
+    )
+
 
 
 def _intersect_tile(tri_ref, sph_ref, n_tris, n_sph, o, d, occlusion, textured=True):
@@ -1013,6 +1066,7 @@ def _make_intersect_fns(
     n_sph,
     clustered,
     any_textured,
+    ablate=frozenset(),
 ):
     """(isect(o,d) -> fused hit tuple, occlude_fan(o, ds, dists) -> [t]) on
     (8,128) chunk tiles: SMEM brute loop for small scenes, clustered-BVH
@@ -1022,6 +1076,22 @@ def _make_intersect_fns(
     The shadow fan tests occ_ref — the statically culled occluder subset of
     the triangle table (scene.py: boundary geometry that provably cannot
     block any vertex→light segment is dropped)."""
+    if "isect" in ablate:  # perf-debug: constant hit, no occluders
+        def isect(o, d):
+            # values derive from o so nothing constant-folds into layouts
+            # Mosaic can't legalize
+            zero = o[0] * 0.0
+            one = zero + 1.0
+            p = _add(o, d)
+            return (
+                one, one > 0.5, p, (zero, one, zero), (zero, zero), zero,
+                zero > 0.5,
+            )
+
+        def occlude_fan(o, ds, dists):
+            return [(o[0] * 0.0 + 1.0) > 0.5 for _ in ds]
+
+        return isect, occlude_fan
     if not clustered:
 
         def isect(o, d):
@@ -1136,9 +1206,8 @@ def _mega_kernel(
         # (stride = n_devices) so every device samples the whole image and
         # per-device work stays balanced (sky rows terminate early, interior
         # rows bounce — contiguous ranges were ~83% balanced at 8 devices).
-        lane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
-        pix = lane // 3
-        chan = lane - pix * 3
+        vlane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
+        pix, chan, fi, fj, lane = _lane_to_pixel(vlane, cam)
         pix_u = pix.astype(jnp.uint32)
         lane_u = lane.astype(jnp.uint32)
         lam = jnp.where(
@@ -1148,8 +1217,6 @@ def _mega_kernel(
                 chan == 1, jnp.float32(WAVELEN_UM[1]), jnp.float32(WAVELEN_UM[2])
             ),
         )
-        fi = (pix % cam["width"]).astype(jnp.float32)
-        fj = (pix // cam["width"]).astype(jnp.float32)
 
         def rot(v):
             om = cam["om"]
@@ -1190,7 +1257,7 @@ def _mega_kernel(
         }
         _isect, _ofan = _make_intersect_fns(
             tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
-            n_tris, n_occ, n_sph, clustered, any_textured,
+            n_tris, n_occ, n_sph, clustered, any_textured, ablate=ablate,
         )
         ctx["occlude_fan"] = _ofan
 
@@ -1401,15 +1468,24 @@ def _mega_kernel_regen(
     Mechanics:
     - per-lane depth/sample counters (d_lane, s_lane); one shared intersect
       per iteration serves bounce rays and freshly spawned camera rays alike;
-    - a vertex's record cannot be finalized until its bounce ray's hit is
-      known (the reference's "indirect ray reached an emitter/missed → env
-      color" rule, Scene.cpp:145-176), so survivors carry a PENDING record
-      (l_dir, w, env-leaf candidate) finalized next iteration;
-    - records land in per-lane depth slots via a one-hot select over the
-      max_bounces scratch slots; the reverse fold runs every iteration and
-      is charged only to lanes that just terminated. Stale higher slots are
-      harmless (every path tops out with a terminal record, and the fold
-      resets at terminal slots);
+    - a vertex's contribution cannot be finalized until its bounce ray's hit
+      is known (the reference's "indirect ray reached an emitter/missed → env
+      color" rule, Scene.cpp:145-176), so survivors carry the PENDING
+      env-terminal radiance, finalized next iteration;
+    - the nested firefly-clamp fold (Scene.cpp:180-183) runs FORWARD in
+      closed form: with every weight and l_dir term ≥ 0, the per-vertex map
+      x ↦ clamp15(l_dir) + clamp(w·x, 0, 5) = min(a+5, a + w·max(0, x))
+      (a = clamp15(l_dir)) belongs to the min-affine family
+      g(x) = min(C, B + W·max(0, x)), which is CLOSED under composition:
+        (C1,B1,W1)∘(C2,B2,W2) = (min(C1, B1+W1·C2), B1+W1·B2, W1·W2).
+      Each lane carries the root-to-current-prefix composition (3 tiles) and
+      evaluates min(C, B + W·max(0, leaf)) at termination — exactly the
+      reference's nested-clamp value, with NO per-depth record slots, no
+      read-modify-write one-hot scatter, and no reverse fold (the ablation
+      study attributed ~half the kernel's runtime to exactly that record
+      machinery). Depth-0 terminals bypass the map (identity), preserving
+      the reference's unclamped depth-0 returns (e.g. raw possibly-negative
+      l_dir on an RR kill, Scene.cpp:129);
     - RNG counters fold (lane, s_lane, d_lane, use) per draw — fully
       deterministic and independent of scheduling; camera draws key on
       (pixel, s_lane) so the three channel lanes still share each sample's
@@ -1435,9 +1511,8 @@ def _mega_kernel_regen(
         # (stride = n_devices) so every device samples the whole image and
         # per-device work stays balanced (sky rows terminate early, interior
         # rows bounce — contiguous ranges were ~83% balanced at 8 devices).
-        lane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
-        pix = lane // 3
-        chan = lane - pix * 3
+        vlane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
+        pix, chan, fi, fj, lane = _lane_to_pixel(vlane, cam)
         pix_u = pix.astype(jnp.uint32)
         lane_u = lane.astype(jnp.uint32)
         lam = jnp.where(
@@ -1447,8 +1522,6 @@ def _mega_kernel_regen(
                 chan == 1, jnp.float32(WAVELEN_UM[1]), jnp.float32(WAVELEN_UM[2])
             ),
         )
-        fi = (pix % cam["width"]).astype(jnp.float32)
-        fj = (pix // cam["width"]).astype(jnp.float32)
 
         def rot(v):
             om = cam["om"]
@@ -1489,7 +1562,7 @@ def _mega_kernel_regen(
         }
         _isect, _ofan = _make_intersect_fns(
             tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
-            n_tris, n_occ, n_sph, clustered, any_textured,
+            n_tris, n_occ, n_sph, clustered, any_textured, ablate=ablate,
         )
         ctx["occlude_fan"] = _ofan
 
@@ -1532,59 +1605,59 @@ def _mega_kernel_regen(
                 dirs = (x, y, one)
             return o, rot(_normalize(dirs))
 
-        def fold_records():
-            l_next = jnp.zeros((CH_ROWS, LANE), jnp.float32)
-            for k in reversed(range(max_bounces)):
-                r0 = rec_ref[k, 0]
-                term = rec_ref[k, 2] > 0.5
-                l_next = jnp.where(
-                    term,
-                    r0,
-                    jnp.clip(r0, 0.0, CLAMP_DIRECT)
-                    + jnp.clip(rec_ref[k, 1] * l_next, 0.0, CLAMP_INDIRECT),
-                )
-            return l_next
-
         def _pack_hit(h):
-            # Slim loop-carried hit: t is never used downstream, and uv is
-            # all-zeros for untextured scenes — dropping them trims the
-            # fori-carried state (register/VMEM pressure dominates this
-            # kernel, see PERF.md).
-            out = (h[1].astype(jnp.float32),) + h[2] + h[3]
+            # Slim loop-carried hit: t is never used downstream, uv is
+            # all-zeros for untextured scenes, and (mat, happened, emissive)
+            # pack into one small-integer f32 tile (mat·4 + hap·2 + em) —
+            # trimming the fori-carried state (register/VMEM pressure
+            # dominates this kernel, see PERF.md).
+            code = (
+                h[5] * 4.0
+                + h[1].astype(jnp.float32) * 2.0
+                + h[6].astype(jnp.float32)
+            )
+            out = h[2] + h[3]
             if any_textured:
                 out = out + h[4]
-            return out + (h[5], h[6].astype(jnp.float32))
+            return out + (code,)
 
         def _unpack_hit(hit):
-            happened_f = hit[0]
-            p = hit[1:4]
-            n = hit[4:7]
+            p = hit[0:3]
+            n = hit[3:6]
             if any_textured:
-                uv = hit[7:9]
-                mat_id, em_f = hit[9], hit[10]
+                uv = hit[6:8]
+                code = hit[8]
             else:
-                z = jnp.zeros_like(happened_f)
+                z = jnp.zeros_like(hit[0])
                 uv = (z, z)
-                mat_id, em_f = hit[7], hit[8]
+                code = hit[6]
+            half = jnp.floor(code * 0.5)
+            em_f = code - 2.0 * half
+            happened_f = half - 2.0 * jnp.floor(half * 0.5)
+            mat_id = jnp.floor(half * 0.5)
             return happened_f, p, n, uv, mat_id, em_f
 
-        # ---- initial state: every lane spawns sample 0
+        # ---- initial state: every lane spawns sample 0. The per-lane
+        # (sample, depth, has_pend) counters share one i32 tile
+        # (s·64 + depth·2 + pend); the fold prefix starts at the identity
+        # map (C=FOLD_BIG, B=0, W=1). The ray ORIGIN is not carried: the
+        # next origin is rebuilt each iteration (camera respawn or p_new)
+        # and consumed by the same iteration's intersect.
         izero = jnp.zeros((CH_ROWS, LANE), jnp.int32)
         fzero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
+        fone = jnp.ones((CH_ROWS, LANE), jnp.float32)
         o0, d0 = cam_ray(izero)
         hit0 = _pack_hit(_isect(o0, d0))
         state0 = (
-            o0,
             d0,
             hit0,
-            izero,  # d_lane
-            izero,  # s_lane
-            fzero,  # has_pend
-            fzero,  # pend_l_dir
-            fzero,  # pend_w
-            fzero,  # pend_env_leaf
+            izero,  # code: s_lane*64 + d_lane*2 + has_pend
+            fone * jnp.float32(FOLD_BIG),  # fold C
+            fzero,  # fold B
+            fone,  # fold W
+            fzero,  # pend_rad (prefix-folded env-terminal radiance)
             fzero,  # rad
-            jnp.ones((CH_ROWS, LANE), jnp.float32),  # rays (sample-0 primary)
+            fone,  # rays (sample-0 primary)
         ) + ((fzero,) if use_env else ())  # primary-miss count (deferred)
 
         def iter_body(it, state):
@@ -1600,20 +1673,23 @@ def _mega_kernel_regen(
                     s = _iter_live((0, s))
                 return s
 
+            # code = s_lane*64 + ... so min(code) < spp*64 ⟺ min(s_lane) < spp
             return lax.cond(
-                jnp.min(state[4]) < spp, _live_n, lambda a: a[1], (it, state)
+                jnp.min(state[2]) < spp * 64, _live_n, lambda a: a[1],
+                (it, state),
             )
 
         def _iter_live(args):
             _, state = args
-            (o, d, hit, d_lane, s_lane, has_pend_f, pend_l, pend_w,
-             pend_leaf, rad, rays, *m0_t) = state
+            (d, hit, code, fC, fB, fW, pend_rad, rad, rays, *m0_t) = state
             m0 = m0_t[0] if use_env else None
+            s_lane = code >> 6
+            d_lane = (code >> 1) & 31
             active = s_lane < spp
             happened_f, p, n, uv, mat_id, em_f = _unpack_hit(hit)
             happened = happened_f > 0.5
             emissive = em_f > 0.5
-            has_pend = (has_pend_f > 0.5) & active
+            has_pend = ((code & 1) > 0) & active
 
             # 1. finalize the pending record using this iteration's hit:
             # bounce ray missed or reached an emitter → env-rule terminal
@@ -1632,7 +1708,7 @@ def _mega_kernel_regen(
             # RR block is skipped; only the leaf values are produced.
             is_vertex = proc & happened & ~emissive
             do_vertex = jnp.max(is_vertex.astype(jnp.float32)) > 0.5
-            zf = jnp.zeros_like(has_pend_f)
+            zf = jnp.zeros_like(fC)
 
             def _full_vertex(_):
                 draw = lambda use: _unit(
@@ -1669,11 +1745,12 @@ def _mega_kernel_regen(
                         ),
                     ),
                 )
-                new_pend_leaf = jnp.clip(
-                    V["l_dir"], 0.0, CLAMP_DIRECT
-                ) + jnp.clip(V["env_ind"], 0.0, CLAMP_INDIRECT)
+                a_t = jnp.clip(V["l_dir"], 0.0, CLAMP_DIRECT)
+                new_pend_leaf = a_t + jnp.clip(
+                    V["env_ind"], 0.0, CLAMP_INDIRECT
+                )
                 return (
-                    jnp.where(proc, V["l_dir"], 0.0),
+                    a_t,
                     V["w"],
                     leaf_now,
                     survive.astype(jnp.float32),
@@ -1715,9 +1792,9 @@ def _mega_kernel_regen(
                         jnp.where(chan == 1, bg[1], bg[2]),
                     )
                 leaf_now = jnp.where(~happened, bg_l, b_leaf)
-                return (zf, zf, leaf_now, zf, zf, zf) + o + d
+                return (zf, zf, leaf_now, zf, zf, zf) + p + d
 
-            (l_dir_m, w_t, leaf_now, survive_f, at_vertex_f, new_pend_leaf,
+            (a_t, w_t, leaf_now, survive_f, at_vertex_f, new_pend_leaf,
              pn0, pn1, pn2, wi0, wi1, wi2) = lax.cond(
                 do_vertex, _full_vertex, _cheap_vertex, 0
             )
@@ -1725,51 +1802,58 @@ def _mega_kernel_regen(
             at_vertex = at_vertex_f > 0.5
             write_now = proc & ~survive
 
-            # 3-field records (rec0 = leaf/l_dir by terminal, rec1 = w,
-            # rec2 = terminal): the pending record lands at d_lane-1, a
-            # terminal-now record at d_lane (different slots, so one lane
-            # can do both in one iteration). seln records are ALWAYS
-            # terminal (write_now = proc & ~survive), so their rec0 is the
-            # leaf; a selp record is terminal only when its bounce ray just
-            # ended the path (ended_env).
-            pend_r0 = jnp.where(ended_env, pend_leaf, pend_l)
-            pend_term_fin = jnp.where(ended_env, 1.0, 0.0)
-            slot_p = d_lane - 1
-            for k in range(max_bounces):
-                selp = has_pend & (slot_p == k)
-                seln = write_now & (d_lane == k)
-                rec_ref[k, 0] = jnp.where(
-                    seln, leaf_now, jnp.where(selp, pend_r0, rec_ref[k, 0])
-                )
-                rec_ref[k, 1] = jnp.where(
-                    seln, w_t, jnp.where(selp, pend_w, rec_ref[k, 1])
-                )
-                rec_ref[k, 2] = jnp.where(
-                    seln, 1.0, jnp.where(selp, pend_term_fin, rec_ref[k, 2])
-                )
+            # 3. terminal contributions through the composed prefix map.
+            # A depth-0 terminal bypasses the map (prefix = identity,
+            # reference returns the raw — possibly negative — depth-0 value);
+            # deeper terminals evaluate min(C, B + W·max(0, leaf)), which is
+            # exactly the reference's nested clamp fold of the whole path
+            # (see the kernel docstring for the closure proof).
+            f_id = d_lane == 0
+            ev_now = jnp.minimum(fC, fB + fW * jnp.maximum(leaf_now, 0.0))
+            contrib = jnp.where(f_id, leaf_now, ev_now)
+            done_now = active & (write_now | ended_env)
+            rad = rad + jnp.where(
+                done_now, jnp.where(ended_env, pend_rad, contrib), 0.0
+            )
+
+            # pending env-terminal radiance for survivors: the value this
+            # path takes if its bounce ray misses / reaches an emitter
+            # (pend_leaf ≥ 0 by construction, so no max(0,·) needed)
+            ev_pend = jnp.minimum(fC, fB + fW * new_pend_leaf)
+            pend_rad = jnp.where(
+                survive, jnp.where(f_id, new_pend_leaf, ev_pend), pend_rad
+            )
+            # compose this vertex's interior map f(x) = a + min(5, w·max(0,x))
+            # into the prefix; W is capped so W·leaf can never overflow to
+            # inf (the cap only matters for pathological w products where
+            # the map is saturated anyway)
+            cC = jnp.minimum(fC, fB + fW * (a_t + CLAMP_INDIRECT))
+            cB = fB + fW * a_t
+            cW = jnp.minimum(fW * w_t, jnp.float32(FOLD_W_CAP))
 
             # primary-miss count: these lanes' radiance is deferred to the
             # full-res env pass (their leaf_now is 0 when use_env)
             if use_env:
-                pm = proc & ~happened & (d_lane == 0)
+                pm = proc & ~happened & f_id
                 m0 = m0 + pm.astype(jnp.float32)
 
-            # 4. fold + respawn for lanes whose path just ended
-            done_now = active & (write_now | ended_env)
-            radiance = fold_records()
-            rad = rad + jnp.where(done_now, radiance, 0.0)
+            # 4. respawn for lanes whose path just ended (prefix → identity)
             s_new = s_lane + done_now.astype(jnp.int32)
             need_spawn = done_now & (s_new < spp)
             oc, dc = cam_ray(s_new)
-            o = _where3(need_spawn, oc, _where3(survive, (pn0, pn1, pn2), o))
+            fC = jnp.where(
+                need_spawn, jnp.float32(FOLD_BIG), jnp.where(survive, cC, fC)
+            )
+            fB = jnp.where(need_spawn, 0.0, jnp.where(survive, cB, fB))
+            fW = jnp.where(need_spawn, 1.0, jnp.where(survive, cW, fW))
+            # dead (budget-exhausted) lanes fall through to p_new/pn — any
+            # finite ray is fine, their results are masked
+            o = _where3(need_spawn, oc, (pn0, pn1, pn2))
             d = _where3(need_spawn, dc, _where3(survive, (wi0, wi1, wi2), d))
-            d_lane = jnp.where(
+            d_new = jnp.where(
                 done_now, 0, jnp.where(survive, d_lane + 1, d_lane)
             )
-            has_pend_f = jnp.where(survive, 1.0, 0.0)
-            pend_l = l_dir_m
-            pend_w = w_t
-            pend_leaf = new_pend_leaf
+            code = (s_new << 6) | (d_new << 1) | survive.astype(jnp.int32)
             # Ray accounting matches bench.py's baseline formula: 1 primary
             # per camera sample, n_dir shadow rays per vertex, and a bounce
             # ray only when one is actually traced (RR survivor, not
@@ -1784,19 +1868,18 @@ def _mega_kernel_regen(
             # 5. one shared intersect: bounce rays and fresh camera rays
             hit = _pack_hit(_isect(o, d))
             return (
-                o, d, hit, d_lane, s_new, has_pend_f, pend_l, pend_w,
-                pend_leaf, rad, rays,
+                d, hit, code, fC, fB, fW, pend_rad, rad, rays,
             ) + ((m0,) if use_env else ())
 
         total_iters = (
             spp * jnp.int32(max_bounces + 1) + jnp.int32(unroll - 1)
         ) // jnp.int32(unroll)
         state = lax.fori_loop(0, total_iters, iter_body, state0)
-        rad, rays = state[9], state[10]
+        rad, rays = state[7], state[8]
         out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
         out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
         if use_env:
-            out_ref[2, pl.ds(r0, CH_ROWS), :] = state[11]
+            out_ref[2, pl.ds(r0, CH_ROWS), :] = state[9]
         return 0
 
     lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -1905,9 +1988,10 @@ def mega_tables(pack):
     )
 
 
-def _cam_static(camera):
+def _cam_static(camera, tile=None):
     om = camera.orientation()
     return {
+        "tile": tile,
         "width": camera.width,
         "height": camera.height,
         "xscale": float(
@@ -1982,7 +2066,7 @@ def _primary_env_mean(pack, camera, spp, seed):
     jax.jit,
     static_argnames=(
         "camera", "n_lanes", "max_bounces", "interpret", "regen",
-        "any_textured",
+        "any_textured", "tile",
     ),
 )
 def trace_mega_block(
@@ -1997,6 +2081,7 @@ def trace_mega_block(
     regen=True,
     any_textured=True,
     lane_stride=1,
+    tile=None,
 ):
     """One kernel dispatch over `n_lanes` lanes starting at `lane_offset`.
 
@@ -2005,6 +2090,8 @@ def trace_mega_block(
     kernel (fastest); regen=False the lockstep spp × depth kernel.
     """
     assert n_lanes % CHUNK == 0, n_lanes
+    # the regen kernel packs the per-lane depth into 5 bits of the counter
+    assert max_bounces <= 32, max_bounces
     (tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct,
      cuv) = mega_tables(pack)
     clustered = pack.n_cl_nodes > 0
@@ -2041,7 +2128,7 @@ def trace_mega_block(
             s for s in os.environ.get("MCPT_MEGA_ABLATE", "").split(",") if s
         ),
         unroll=int(os.environ.get("MCPT_MEGA_UNROLL", "2")),
-        cam=_cam_static(camera),
+        cam=_cam_static(camera, tile),
     )
     from mcpt_tpu.kernels.cluster import N_RES as _N_RES
 
@@ -2056,7 +2143,11 @@ def trace_mega_block(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((max_bounces, 3, CH_ROWS, LANE), jnp.float32),
+            # per-depth record slots: only the lockstep kernel uses them
+            # (the regen kernel folds forward in closed form)
+            pltpu.VMEM(
+                (1 if regen else max_bounces, 3, CH_ROWS, LANE), jnp.float32
+            ),
             # the clustered occlusion fan parks one blocked-plane per NEE
             # sample in res_ref, so it needs >= n_dir_sample rows
             pltpu.VMEM(
@@ -2067,6 +2158,50 @@ def trace_mega_block(
     )(scal, tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct, cuv)
     flat = out.reshape(n_planes, n_lanes)
     return flat[0], flat[1], (flat[2] if pack.use_env else None)
+
+
+
+# Chunk tile footprint for clustered scenes: a 1024-lane chunk covers ~2/3
+# of one 16x32-pixel tile instead of a 341x1 scanline strip. Override with
+# MCPT_MEGA_TILE=0 (off) or "WxH" (experiment).
+TILE_W = 16
+TILE_H = 32
+
+
+def _pick_tile(pack, camera):
+    """Tile geometry (tw, th, tpr, wpad, hpad) for clustered scenes, else
+    None. Small (SMEM brute-force) scenes gain nothing from ray coherence —
+    every chunk tests every primitive — so they keep scanline order."""
+    mode = os.environ.get("MCPT_MEGA_TILE", "auto")
+    if mode == "0":
+        return None
+    if "x" in mode:
+        tw, th = (int(v) for v in mode.split("x"))
+    elif pack.n_cl_nodes <= 0:
+        return None
+    else:
+        tw, th = TILE_W, TILE_H
+    tpr = -(-camera.width // tw)
+    hpad = -(-camera.height // th) * th
+    return tw, th, tpr, tw * tpr, hpad
+
+
+def _scatter_virtual(plane_flat, tile, w, h):
+    """Scatter a virtually-ordered (lanes_v,) lane plane back to (h, w, 3)
+    image order (inverse of _lane_to_pixel's tile permutation); virtual
+    pixels padded past the image edge are dropped."""
+    tw, th, tpr, wpad, hpad = tile
+    arr = np.asarray(plane_flat)[: wpad * hpad * 3].reshape(-1, 3)
+    vp = np.arange(wpad * hpad)
+    tidx, wp = np.divmod(vp, tw * th)
+    ty, tx = np.divmod(tidx, tpr)
+    yi, xi = np.divmod(wp, tw)
+    ii = tx * tw + xi
+    jj = ty * th + yi
+    valid = (ii < w) & (jj < h)
+    img = np.zeros((h, w, 3), arr.dtype)
+    img[jj[valid], ii[valid]] = arr[valid]
+    return img
 
 
 def render_mega_sharded(
@@ -2106,7 +2241,13 @@ def render_mega_sharded(
     devices = list(devices if devices is not None else jax.devices())
     nd = len(devices)
     w, h = camera.width, camera.height
-    lanes = w * h * 3
+    tile = _pick_tile(pack, camera)
+    if tile:
+        lanes = tile[3] * tile[4] * 3  # wpad * hpad * 3 virtual lanes
+        tile_static = tile[:3]
+    else:
+        lanes = w * h * 3
+        tile_static = None
     per_dev = -(-lanes // (nd * CHUNK)) * CHUNK
     any_t = bool(np.asarray(pack.mat_textured).any())
     mesh = Mesh(np.array(devices), ("shard",))
@@ -2149,6 +2290,7 @@ def render_mega_sharded(
                 regen,
                 any_t,
                 lane_stride=nd,
+                tile=tile_static,
             )
             rads.append(r)
             rays.append(ry)
@@ -2170,17 +2312,26 @@ def render_mega_sharded(
     rad = _delace(res[0])
     rays = _delace(res[1])
     # Pad lanes trace real (wrapped-pixel) paths; count only image lanes.
-    total_rays = float(rays[:lanes].sum())
+    if tile:
+        img = _scatter_virtual(rad, tile, w, h)
+        total_rays = float(_scatter_virtual(rays, tile, w, h).sum())
+    else:
+        img = rad[:lanes].reshape(h, w, 3)
+        total_rays = float(rays[:lanes].sum())
     # Per-device TOTAL traced work (including wrapped-pad lanes): the
     # work-imbalance diagnostic for the scaling benchmark.
     per_dev_rays = np.asarray(res[1]).reshape(nd, per_dev).sum(axis=1)
-    img = rad[:lanes].reshape(h, w, 3)
     if pack.use_env:
         miss = _delace(res[2])
         env_mean = np.asarray(
             _primary_env_mean(pack, camera, spp, seed_arr)
         ).reshape(h, w, 3)
-        img = img + (miss[:lanes].reshape(h, w, 3) / spp) * env_mean
+        miss_img = (
+            _scatter_virtual(miss, tile, w, h)
+            if tile
+            else miss[:lanes].reshape(h, w, 3)
+        )
+        img = img + (miss_img / spp) * env_mean
     elapsed = time.monotonic() - t0
     stats = {
         "elapsed_s": elapsed,
@@ -2210,7 +2361,14 @@ def render_mega(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     w, h = camera.width, camera.height
-    lanes = w * h * 3
+    tile = _pick_tile(pack, camera)
+    if tile:
+        tw, th, tpr, wpad, hpad = tile
+        lanes = wpad * hpad * 3
+        tile_static = (tw, th, tpr)
+    else:
+        lanes = w * h * 3
+        tile_static = None
     # One block shape only: images larger than a MEGA block round up to whole
     # MEGA blocks (≤1 block of waste ≈ 1-2%) so the kernel compiles once.
     blk_lanes = _block_lanes(pack)
@@ -2222,28 +2380,37 @@ def render_mega(
     t0 = time.monotonic()
     rad = np.zeros(lanes_pad, np.float32)
     miss = np.zeros(lanes_pad, np.float32)
-    total_rays = 0.0
+    rays_arr = np.zeros(lanes_pad, np.float32)
     off = 0
     while off < lanes_pad:
         n = min(blk_lanes, lanes_pad - off)
         r, rays, m = trace_mega_block(
             pack, camera, seed, off, spp, n, max_bounces, interpret, regen,
-            any_t,
+            any_t, tile=tile_static,
         )
         rad[off : off + n] = np.asarray(r)
+        rays_arr[off : off + n] = np.asarray(rays)
         if m is not None:
             miss[off : off + n] = np.asarray(m)
-        # Pad lanes trace real (wrapped-pixel) paths; count image lanes only.
-        n_real = max(0, min(lanes - off, n))
-        total_rays += float(np.asarray(jnp.sum(rays[:n_real])))
         off += n
-    img = rad[:lanes].reshape(h, w, 3)
+    # Pad lanes trace real (wrapped-pixel) paths; count image lanes only.
+    if tile:
+        img = _scatter_virtual(rad, tile, w, h)
+        total_rays = float(_scatter_virtual(rays_arr, tile, w, h).sum())
+    else:
+        img = rad[:lanes].reshape(h, w, 3)
+        total_rays = float(rays_arr[:lanes].sum())
     if pack.use_env:
         # deferred primary-miss env shading at full texture resolution
         env_mean = np.asarray(
             _primary_env_mean(pack, camera, spp, jnp.asarray(seed, jnp.int32))
         ).reshape(h, w, 3)
-        img = img + (miss[:lanes].reshape(h, w, 3) / spp) * env_mean
+        miss_img = (
+            _scatter_virtual(miss, tile, w, h)
+            if tile
+            else miss[:lanes].reshape(h, w, 3)
+        )
+        img = img + (miss_img / spp) * env_mean
     elapsed = time.monotonic() - t0
     stats = {
         "elapsed_s": elapsed,

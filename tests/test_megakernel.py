@@ -312,7 +312,19 @@ def test_cluster_tables_invariants():
     sc.add(_mesh(CORNELL_LIGHT, make_light_material(3.9), "light"))
     pack = sc.compile()
     assert pack.n_cl_nodes > 0
-    nodes = np.asarray(pack.cl_nodes).reshape(-1, 16)[: pack.n_cl_nodes]
+    # 12-nodes-per-row, 10-col packed layout with premultiplied links
+    # (kernels/cluster.py build_cluster_tables)
+    raw = np.asarray(pack.cl_nodes)
+    idx = np.arange(pack.n_cl_nodes)
+    r_i, c_i = idx // 12, (idx % 12) * 10
+
+    def col(k):
+        return raw[r_i, c_i + k]
+
+    def dec(enc):
+        e = enc.astype(np.int64)
+        return np.where(e < 0, -1, (e >> 7) * 12 + (e & 127) // 10)
+
     tris = np.asarray(pack.cl_tris)
     n_tiles = tris.shape[0] // 8
 
@@ -323,17 +335,24 @@ def test_cluster_tables_invariants():
     # each leaf's [tile_base, tile_base+n_tiles) in bounds; union covers all
     covered = np.zeros(n_tiles, bool)
     for n in range(pack.n_cl_nodes):
-        k = int(nodes[n, 7])
+        k = int(col(8)[n])
         if k > 0:
-            b = int(nodes[n, 8])
+            b = int(col(9)[n])
             assert 0 <= b and b + k <= n_tiles
             assert not covered[b : b + k].any()  # tiles are exclusive
             covered[b : b + k] = True
     assert covered.all()
 
-    # miss links terminate: walking miss pointers from any node reaches -1
-    miss = nodes[:, 6].astype(int)
+    # links decode to in-range ordinals; miss chains terminate at -1, and
+    # every interior node's hit link is its DFS successor
+    miss = dec(col(6))
     assert (miss < pack.n_cl_nodes).all() and (miss >= -1).all()
+    hitl = dec(col(7))
+    interior = col(8) == 0
+    assert (hitl[interior & (idx + 1 < pack.n_cl_nodes)] >= 0).all()
+    nxt = hitl[interior]
+    exp = np.where(idx[interior] + 1 < pack.n_cl_nodes, idx[interior] + 1, -1)
+    assert (nxt == exp).all()
 
     # normals derivable from Woop rows match tri_shade on valid rows
     w2 = tris[:, 6:9]
