@@ -79,18 +79,15 @@ def pick_leaf_size(n_tris: int) -> int:
                 "a larger leaf size"
             )
         return leaf
-    for leaf in (8, 16, 32, 64, 128):
-        # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves ~60-100% full;
-        # keep the serial walk under ~2.5k nodes when possible (the 1080p
-        # chessboard sweep measured leaf 64 fastest; leaf 128 was slower
-        # AND its small-lane-count compiles wedge the remote Mosaic
-        # service in this image)
-        nodes = 2 * (2 * n_tris // leaf + 1)
-        if nodes <= min(budget, 2500):
-            return leaf
-    for leaf in (32, 64, 128):
-        # very large scenes: the smallest leaf whose node table fits SMEM
-        # (prefer 64 over 128 — see the Mosaic-wedge note above)
+    for leaf in (16, 32, 64, 128):
+        # Smallest leaf (>= 16) whose node table fits the SMEM budget.
+        # With tile-coherent chunks the 2026-08 1080p chessboard sweep
+        # measured leaf 16 fastest (13.5e6 rays/s vs 11.1e6 at 64 and
+        # ~10e6 at 8): coherent rowgroups reach few leaves, so per-leaf
+        # tile work outweighs the extra serial node steps until leaf 8.
+        # Leaf 128's small-lane-count compiles also wedge the remote
+        # Mosaic service in this image — it is only ever a last resort.
+        # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves 60-100% full.
         if 2 * (2 * n_tris // leaf + 1) <= budget:
             return leaf
     raise ValueError(f"scene too large for cluster tables: {n_tris} tris")
@@ -235,6 +232,7 @@ def cluster_occlude_fan(
     dists,
     *,
     n_sph,
+    mask=None,
 ):
     """Visibility of S unit-direction shadow rays sharing one origin (the
     NEE fan, Scene.cpp:56-82) against the clustered BVH + brute spheres, in
@@ -255,6 +253,16 @@ def cluster_occlude_fan(
     division-free min-chain (conditions multiplied through by |det|).
     Blocked lanes drop out of the node mask, and the walk abandons once
     every (sample, lane) is blocked.
+
+    Shaft cull: every tested segment runs from a fan origin to a light
+    sample, so the whole fan lives inside the AABB of {origins} ∪ {targets}
+    (targets = o + d·dist). That box is computed ONCE per walk (masked to
+    real lanes — `mask` excludes dead lanes whose garbage origins would
+    blow the box up) and every node is prescreened against it with six
+    SCALAR compares: nodes outside the shaft take their miss link with no
+    vector work and no vector→scalar sync. Shadow rays are ~80% of all
+    traced rays and the light is small, so on big scenes this prunes most
+    of the tree per walk.
     """
     o0, o1, o2 = o
     s_cnt = len(ds)
@@ -274,6 +282,25 @@ def cluster_occlude_fan(
     rg_pow = jnp.exp2(
         jax.lax.broadcasted_iota(jnp.int32, (CH_SUB, 1), 0).astype(jnp.float32)
     )
+
+    # ---- shaft AABB (scalar node prescreen; see docstring)
+    big = jnp.float32(3.0e37)
+    if mask is None:
+        mask = jnp.ones_like(o0) > 0.5
+    shaft_min = []
+    shaft_max = []
+    for k in range(3):
+        comps = [o[k]] + [
+            o[k] + ds[si][k] * dists[si] for si in range(s_cnt)
+        ]
+        lo = jnp.float32(big)
+        hi = jnp.float32(-big)
+        for c in comps:
+            lo = jnp.minimum(lo, jnp.min(jnp.where(mask, c, big)))
+            hi = jnp.maximum(hi, jnp.max(jnp.where(mask, c, -big)))
+        # EPSILON covers the slab tests' own slack
+        shaft_min.append(lo - EPSILON)
+        shaft_max.append(hi + EPSILON)
 
     # ---- brute spheres (unit dirs => a = 1; robust q-form roots)
     def sphb(s, _):
@@ -389,53 +416,71 @@ def cluster_occlude_fan(
         n_tiles = cn_ref[row, c0 + 8].astype(jnp.int32)
         tbase = cn_ref[row, c0 + 9].astype(jnp.int32)
 
-        # per-sample slab tests; union mask over samples drives descent,
-        # and per-sample bitmask smask skips settled samples at leaves
-        rgmask = jnp.zeros((CH_SUB, 1), jnp.float32)
-        smask = jnp.int32(0)
-        for si in range(s_cnt):
-            iv0, iv1, iv2 = dinv[si]
-            va0 = (mn0 - o0) * iv0
-            vb0 = (mx0 - o0) * iv0
-            va1 = (mn1 - o1) * iv1
-            vb1 = (mx1 - o1) * iv1
-            va2 = (mn2 - o2) * iv2
-            vb2 = (mx2 - o2) * iv2
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(va0, vb0), jnp.minimum(va1, vb1)),
-                jnp.minimum(va2, vb2),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(va0, vb0), jnp.maximum(va1, vb1)),
-                jnp.maximum(va2, vb2),
-            )
-            live = res_ref[si] < 0.5
-            hit = (
-                (tmin - EPSILON <= tmax)
-                & (tmax >= -EPSILON)
-                & (tmin - EPSILON <= xs[si])
-                & live
-            )
-            rg_si = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
-            rgmask = jnp.maximum(rgmask, rg_si)
-            s_any = jnp.max(rg_si)
-            smask = smask | jnp.where(s_any > 0.0, jnp.int32(1) << si, 0)
+        # scalar shaft prescreen: a node disjoint from the fan's shaft AABB
+        # cannot contain a blocker for any (lane, sample) segment — take the
+        # miss link with zero vector work and no vector→scalar sync
+        shaft_ok = (
+            (mn0 <= shaft_max[0])
+            & (mx0 >= shaft_min[0])
+            & (mn1 <= shaft_max[1])
+            & (mx1 >= shaft_min[1])
+            & (mn2 <= shaft_max[2])
+            & (mx2 >= shaft_min[2])
+        )
 
-        mask = jnp.sum(rgmask * rg_pow).astype(jnp.int32)
-        any_hit = mask > 0
-        is_leaf = n_tiles > 0
+        def _culled(_):
+            return miss
 
-        @pl.when(any_hit & is_leaf)
-        def _():
-            for rg in range(CH_SUB):
+        def _tested(_):
+            # per-sample slab tests; union mask over samples drives descent,
+            # and per-sample bitmask smask skips settled samples at leaves
+            rgmask = jnp.zeros((CH_SUB, 1), jnp.float32)
+            smask = jnp.int32(0)
+            for si in range(s_cnt):
+                iv0, iv1, iv2 = dinv[si]
+                va0 = (mn0 - o0) * iv0
+                vb0 = (mx0 - o0) * iv0
+                va1 = (mn1 - o1) * iv1
+                vb1 = (mx1 - o1) * iv1
+                va2 = (mn2 - o2) * iv2
+                vb2 = (mx2 - o2) * iv2
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(va0, vb0), jnp.minimum(va1, vb1)),
+                    jnp.minimum(va2, vb2),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(va0, vb0), jnp.maximum(va1, vb1)),
+                    jnp.maximum(va2, vb2),
+                )
+                live = res_ref[si] < 0.5
+                hit = (
+                    (tmin - EPSILON <= tmax)
+                    & (tmax >= -EPSILON)
+                    & (tmin - EPSILON <= xs[si])
+                    & live
+                )
+                rg_si = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+                rgmask = jnp.maximum(rgmask, rg_si)
+                s_any = jnp.max(rg_si)
+                smask = smask | jnp.where(s_any > 0.0, jnp.int32(1) << si, 0)
 
-                @pl.when(((mask >> rg) & 1) > 0)
-                def _():
-                    lax.fori_loop(
-                        0, n_tiles, leaf_rowgroup(rg, tbase, smask), 0
-                    )
+            rgm = jnp.sum(rgmask * rg_pow).astype(jnp.int32)
+            any_hit = rgm > 0
+            is_leaf = n_tiles > 0
 
-        return jnp.where(any_hit & (n_tiles == 0), hit_enc, miss)
+            @pl.when(any_hit & is_leaf)
+            def _():
+                for rg in range(CH_SUB):
+
+                    @pl.when(((rgm >> rg) & 1) > 0)
+                    def _():
+                        lax.fori_loop(
+                            0, n_tiles, leaf_rowgroup(rg, tbase, smask), 0
+                        )
+
+            return jnp.where(any_hit & (n_tiles == 0), hit_enc, miss)
+
+        return lax.cond(shaft_ok, _tested, _culled, 0)
 
     lax.while_loop(cond, body, jnp.int32(0))
     return [res_ref[si] < 0.5 for si in range(s_cnt)]

@@ -974,8 +974,13 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
             samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
 
         if ctx["enable_shadow"]:
+            # mask=happened: dead/miss lanes' garbage origins must not
+            # inflate the clustered fan's shaft-cull box
             vis_sh = ctx["occlude_fan"](
-                p_dl, [s_[0] for s_ in samples], [s_[1] for s_ in samples]
+                p_dl,
+                [s_[0] for s_ in samples],
+                [s_[1] for s_ in samples],
+                happened,
             )
         for si in range(ctx["n_dir_sample"]):
             ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
@@ -1088,7 +1093,7 @@ def _make_intersect_fns(
                 zero > 0.5,
             )
 
-        def occlude_fan(o, ds, dists):
+        def occlude_fan(o, ds, dists, mask=None):
             return [(o[0] * 0.0 + 1.0) > 0.5 for _ in ds]
 
         return isect, occlude_fan
@@ -1100,7 +1105,8 @@ def _make_intersect_fns(
                 textured=any_textured,
             )
 
-        def occlude_fan(o, ds, dists):
+        def occlude_fan(o, ds, dists, mask=None):
+            # brute fan: every occluder is tested anyway, no shaft cull
             return _occlude_shared_origin(
                 occ_ref, sph_ref, n_occ, n_sph, o, ds, dists
             )
@@ -1137,13 +1143,15 @@ def _make_intersect_fns(
         uv = (res_ref[R_UVX], res_ref[R_UVY])
         return t, happened, p, n, uv, res_ref[R_MAT], res_ref[R_EM] > 0.5
 
-    def occlude_fan(o, ds, dists):
+    def occlude_fan(o, ds, dists, mask=None):
         # single-walk robust fan (see cluster.cluster_occlude_fan): one
         # traversal for all S samples, "any blocker at t < dist − ε"
-        # predicate matching _occlude_shared_origin. The returned tiles are
-        # materialized ref reads (copies), safe across res_ref reuse.
+        # predicate matching _occlude_shared_origin, shaft-culled by the
+        # masked origin/target AABB. The returned tiles are materialized
+        # ref reads (copies), safe across res_ref reuse.
         return cluster_occlude_fan(
-            cn_ref, ct_ref, sph_ref, res_ref, o, ds, dists, n_sph=n_sph
+            cn_ref, ct_ref, sph_ref, res_ref, o, ds, dists, n_sph=n_sph,
+            mask=mask,
         )
 
     return isect, occlude_fan
@@ -2162,10 +2170,11 @@ def trace_mega_block(
 
 
 # Chunk tile footprint for clustered scenes: a 1024-lane chunk covers ~2/3
-# of one 16x32-pixel tile instead of a 341x1 scanline strip. Override with
-# MCPT_MEGA_TILE=0 (off) or "WxH" (experiment).
-TILE_W = 16
-TILE_H = 32
+# of one 8x64-pixel tile instead of a 341x1 scanline strip (the 2026-08 sweep
+# measured 8x64 fastest: +30% over scanline on the chessboard; 16x32 and
+# 16x64 within 3%). Override with MCPT_MEGA_TILE=0 (off) or "WxH".
+TILE_W = 8
+TILE_H = 64
 
 
 def _pick_tile(pack, camera):
@@ -2369,13 +2378,13 @@ def render_mega(
     else:
         lanes = w * h * 3
         tile_static = None
-    # One block shape only: images larger than a MEGA block round up to whole
-    # MEGA blocks (≤1 block of waste ≈ 1-2%) so the kernel compiles once.
+    # Whole blocks of blk_lanes plus ONE chunk-rounded remainder block: pad
+    # lanes trace real (wrapped) paths, so rounding the remainder up to a
+    # full MEGA block burned up to 12.5% of the render at 1080p (6.22M lanes
+    # -> 7 blocks). The remainder's second kernel shape is one extra
+    # (persistently cached) compile.
     blk_lanes = _block_lanes(pack)
-    if lanes > blk_lanes:
-        lanes_pad = -(-lanes // blk_lanes) * blk_lanes
-    else:
-        lanes_pad = -(-lanes // CHUNK) * CHUNK
+    lanes_pad = -(-lanes // CHUNK) * CHUNK
     any_t = bool(np.asarray(pack.mat_textured).any())
     t0 = time.monotonic()
     rad = np.zeros(lanes_pad, np.float32)

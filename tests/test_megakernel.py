@@ -189,6 +189,81 @@ def test_mega_clustered_equals_smem_demo(pack, cam):
     assert abs(a.mean() - b.mean()) < 5e-3
 
 
+def test_mega_clustered_equals_smem_at_chessboard_scale():
+    """The r3 shadow-epsilon bug class was SCALE-dependent (absolute 1e-4
+    epsilons go sub-ULP in f32 beyond ~1.7e3-unit coordinates), so the
+    clustered-vs-SMEM cross-validation must also run at chessboard-scale
+    coordinates. Same construction as test_mega_clustered_equals_smem_demo
+    but with every coordinate scaled x4 (scene spans ~2200 units like the
+    conf.json chessboard): identical murmur draws through both intersect/
+    occlusion implementations, so agreement is deterministic (no
+    Monte-Carlo noise) — a shadow-predicate or traversal regression of ANY
+    magnitude flips blocked bits and fails the bitwise-level comparison.
+
+    The injection arm proves sensitivity: shrinking the cluster nodes' AABBs
+    by 10% (a traversal bug that misses blockers near box faces) must break
+    the agreement."""
+    import dataclasses
+
+    from mcpt_tpu import builtin_scenes as B
+    from mcpt_tpu.camera import Camera
+    from mcpt_tpu.materials import make_light_material, standard_materials
+    from mcpt_tpu.scene import Scene, Sphere
+
+    k = 4.0
+    mats = standard_materials()
+    camera = Camera(
+        width=48, height=48, fov=40.0,
+        position=(278.0 * k, 273.0 * k, -800.0 * k),
+        target=(278.0 * k, 273.0 * k, 0.0),
+        up=(0.0, 1.0, 0.0),
+    )
+    sc = Scene(camera)
+    for quads, m, name in [
+        (B.CORNELL_FLOOR, mats["rough_white_conductor"], "back"),
+        (B.CORNELL_SHORTBOX, mats["green_mirror"], "shortbox"),
+        (B.CORNELL_TALLBOX, mats["rough_plastic"], "tallbox"),
+        (B.CORNELL_LEFT, mats["rough_red_conductor"], "left"),
+        (B.CORNELL_RIGHT, mats["gold_conductor"], "right"),
+        (B.CORNELL_LIGHT, make_light_material(3.9), "light"),
+    ]:
+        sc.add(B._mesh(np.asarray(quads) * k, m, name))
+    sc.add(Sphere((400.0 * k, 90.0 * k, 3.0 * k), 80.0 * k,
+                  mats["smooth_glass"], "big"))
+    sc.add(Sphere((250.0 * k, 260.0 * k, 230.0 * k), 60.0 * k,
+                  mats["clear_rough_plastic"], "mid"))
+
+    pack_s = sc.compile()
+    pack_c = sc.compile(cluster_threshold=8)
+    assert pack_s.n_cl_nodes == 0 and pack_c.n_cl_nodes > 0
+    a, _ = render_mega(
+        pack_s, camera, spp=4, seed=3, max_bounces=4, interpret=True
+    )
+    b, _ = render_mega(
+        pack_c, camera, spp=4, seed=3, max_bounces=4, interpret=True
+    )
+    diff = np.abs(a - b)
+    mismatch = float((diff > 1e-3).mean())
+    assert mismatch < 0.02, mismatch
+    assert abs(a.mean() - b.mean()) < 5e-3
+
+    # Injection: drop every 4th triangle from the cluster tiles (zero its
+    # valid + nr2 columns) — the "missed blocker / missed hit" regression
+    # class. The comparison above must catch the resulting light leak
+    # (validates the guard's sensitivity). Node-box perturbations are NOT a
+    # useful injection here: the walk descends on the 1024-ray union, which
+    # is insensitive to box changes (measured 0.07% flips at 10% shrink).
+    raw = np.array(pack_c.cl_tris)
+    raw[::4, 12] = 0.0  # nr2: det test rejects unconditionally
+    raw[::4, 13] = 0.0  # valid
+    pack_bad = pack_c.replace(cl_tris=raw)
+    c, _ = render_mega(
+        pack_bad, camera, spp=4, seed=3, max_bounces=4, interpret=True
+    )
+    bad_mismatch = float((np.abs(a - c) > 1e-3).mean())
+    assert bad_mismatch > 0.05, bad_mismatch
+
+
 def test_mega_many_light_tessellated(pack, cam):
     """A 64-triangle tessellated ceiling light: the kernel's emitter pick is
     a lax.fori over emitter rows (compile-flat in E), and must match the
