@@ -40,15 +40,26 @@ CH_SUB = 8  # sublane rowgroups per (8, 128) ray chunk
 
 
 class ClusterTables:
-    """Host-side numpy tables; scene.compile() stores them on the pack."""
+    """Host-side numpy tables; scene.compile() stores them on the pack.
 
-    def __init__(self, nodes, tris, uv, n_nodes, n_tiles, textured):
+    Triangle/uv data uses the LEAF-ROW-GROUP layout: each leaf owns
+    `groups` consecutive (8, TPG*16) blocks (8 tri sublanes x TPG
+    side-by-side tiles on lanes, tile j's attr a at lane j*16+a). At
+    leaf 64 (TPG=8) the block is a fully DENSE (8, 128) VMEM tile — the
+    naive (8*n_tiles, 16) layout padded its 16-lane minor dim 8x to 128,
+    which alone overflowed VMEM on ~300k-triangle scenes. Kernel-side the
+    per-tile lane offsets are STATIC (unrolled j loop), which Mosaic
+    requires (dynamic lane slicing is unsupported).
+    """
+
+    def __init__(self, nodes, tris, uv, n_nodes, n_tiles, textured, groups):
         self.nodes = nodes  # (R, 128) f32 SMEM layout
-        self.tris = tris  # (8*n_tiles, 16) f32 VMEM tiles
-        self.uv = uv  # (8*n_tiles, 8) f32 or (8,8) dummy
+        self.tris = tris  # (n_leaves*groups*8, TPG*16) f32 VMEM blocks
+        self.uv = uv  # (n_leaves*groups*8, TPG*8) f32 or dummy
         self.n_nodes = n_nodes
         self.n_tiles = n_tiles
         self.textured = textured
+        self.groups = groups  # row-groups per leaf
 
 
 def pick_leaf_size(n_tris: int) -> int:
@@ -112,11 +123,22 @@ def build_cluster_tables(
     tk = np.asarray(tri_kern, np.float32)  # (16, T)
     ts = np.asarray(tri_shade, np.float32)  # (T, 11)
 
-    tri_rows = []
-    uv_rows = []
-    tile_base = np.zeros(n_nodes, np.float32)
+    # tiles-per-group: the widest leaf decides (lane width TPG*16 <= 128;
+    # leaves above 64 tris span `groups` row-groups)
+    max_tiles = 1
+    for n in range(n_nodes):
+        if leaf_start[n] >= 0:
+            ids = prim_ids[leaf_start[n] : leaf_start[n] + leaf_count[n]]
+            max_tiles = max(max_tiles, -(-int((ids < t_pad).sum()) // TILE))
+    groups = -(-max_tiles // 8)
+    tpg = min(max_tiles, 8)
+
+    leaf_blocks = []
+    uv_blocks = []
+    group_base = np.zeros(n_nodes, np.float32)
     n_tiles_of = np.zeros(n_nodes, np.float32)
-    cursor = 0
+    cursor = 0  # in row-groups
+    n_tiles = 0
     for n in range(n_nodes):
         if leaf_start[n] < 0:
             continue
@@ -125,31 +147,34 @@ def build_cluster_tables(
         if ids.size == 0:
             continue
         k = -(-ids.size // TILE)
-        tile_base[n] = cursor
+        group_base[n] = cursor
         n_tiles_of[n] = k
+        n_tiles += k
+        blk = np.zeros((groups * TILE, tpg * 16), np.float32)
+        uvb = np.zeros((groups * TILE, tpg * 8), np.float32)
         for t in range(k):
             sub = ids[t * TILE : (t + 1) * TILE]
-            rows = np.zeros((TILE, 16), np.float32)
-            uvr = np.zeros((TILE, 8), np.float32)
             m = sub.size
-            rows[:m, 0:13] = tk[0:13, sub].T  # w9, c3, nr2
-            rows[:m, 13] = tk[13, sub]  # valid
-            rows[:m, 14] = ts[sub, 9]  # mat id
-            rows[:m, 15] = ts[sub, 10]  # emissive
-            uvr[:m, 0:6] = ts[sub, 3:9]
-            tri_rows.append(rows)
-            uv_rows.append(uvr)
-        cursor += k
+            gg, j = t // 8, t % 8
+            r0 = gg * TILE
+            c0 = j * 16
+            blk[r0 : r0 + m, c0 : c0 + 13] = tk[0:13, sub].T  # w9, c3, nr2
+            blk[r0 : r0 + m, c0 + 13] = tk[13, sub]  # valid
+            blk[r0 : r0 + m, c0 + 14] = ts[sub, 9]  # mat id
+            blk[r0 : r0 + m, c0 + 15] = ts[sub, 10]  # emissive
+            uvb[r0 : r0 + m, j * 8 : j * 8 + 6] = ts[sub, 3:9]
+        leaf_blocks.append(blk)
+        uv_blocks.append(uvb)
+        cursor += groups
 
-    n_tiles = cursor
-    if n_tiles == 0:
+    if not leaf_blocks:
         tris = np.zeros((TILE, 16), np.float32)
         uv = np.zeros((TILE, 8), np.float32)
         n_tiles = 1
     else:
-        tris = np.concatenate(tri_rows, axis=0)
+        tris = np.concatenate(leaf_blocks, axis=0)
         uv = (
-            np.concatenate(uv_rows, axis=0)
+            np.concatenate(uv_blocks, axis=0)
             if any_textured
             else np.zeros((TILE, 8), np.float32)
         )
@@ -175,8 +200,10 @@ def build_cluster_tables(
     nxt = np.where(idx + 1 < n_nodes, idx + 1, -1)
     nodes[r_i, c_i + 7] = enc(nxt)  # DFS-next (descend target; leaf: unused)
     nodes[r_i, c_i + 8] = n_tiles_of
-    nodes[r_i, c_i + 9] = tile_base
-    return ClusterTables(nodes, tris, uv, n_nodes, n_tiles, any_textured)
+    nodes[r_i, c_i + 9] = group_base
+    return ClusterTables(
+        nodes, tris, uv, n_nodes, n_tiles, any_textured, groups
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +260,8 @@ def cluster_occlude_fan(
     *,
     n_sph,
     mask=None,
+    tpg=1,
+    groups=1,
 ):
     """Visibility of S unit-direction shadow rays sharing one origin (the
     NEE fan, Scene.cpp:56-82) against the clustered BVH + brute spheres, in
@@ -330,73 +359,91 @@ def cluster_occlude_fan(
 
     lax.fori_loop(0, n_sph, sphb, 0)
 
-    def leaf_rowgroup(rg, tbase, smask):
+    def leaf_visit(rg, gbase, smask):
+        """Test every tile of one leaf (leaf-row-group layout: `groups`
+        blocks of (8, tpg*16), tile j's attr a at static lane j*16+a)
+        against ray rowgroup rg's fan samples."""
         ro0 = jax.lax.slice_in_dim(o0, rg, rg + 1, axis=0)
         ro1 = jax.lax.slice_in_dim(o1, rg, rg + 1, axis=0)
         ro2 = jax.lax.slice_in_dim(o2, rg, rg + 1, axis=0)
 
-        def tile_body(t, _):
-            blk = ct_ref[pl.ds((tbase + t) * TILE, TILE), :]  # (8,16)
-            nr2 = blk[:, 12:13]
-            op2 = (
-                ro0 * blk[:, 6:7]
-                + ro1 * blk[:, 7:8]
-                + ro2 * blk[:, 8:9]
-                - blk[:, 11:12]
-            )
-            op0 = (
-                ro0 * blk[:, 0:1]
-                + ro1 * blk[:, 1:2]
-                + ro2 * blk[:, 2:3]
-                - blk[:, 9:10]
-            )
-            op1 = (
-                ro0 * blk[:, 3:4]
-                + ro1 * blk[:, 4:5]
-                + ro2 * blk[:, 5:6]
-                - blk[:, 10:11]
-            )
-            q = op2 * nr2  # t·det, shared across the fan
-            for si in range(s_cnt):
+        if True:
+            for gg in range(groups):
+                blk = ct_ref[pl.ds((gbase + gg) * TILE, TILE), :]
+                for j in range(tpg):
+                    c = j * 16
+                    nr2 = blk[:, c + 12 : c + 13]
+                    op2 = (
+                        ro0 * blk[:, c + 6 : c + 7]
+                        + ro1 * blk[:, c + 7 : c + 8]
+                        + ro2 * blk[:, c + 8 : c + 9]
+                        - blk[:, c + 11 : c + 12]
+                    )
+                    op0 = (
+                        ro0 * blk[:, c + 0 : c + 1]
+                        + ro1 * blk[:, c + 1 : c + 2]
+                        + ro2 * blk[:, c + 2 : c + 3]
+                        - blk[:, c + 9 : c + 10]
+                    )
+                    op1 = (
+                        ro0 * blk[:, c + 3 : c + 4]
+                        + ro1 * blk[:, c + 4 : c + 5]
+                        + ro2 * blk[:, c + 5 : c + 6]
+                        - blk[:, c + 10 : c + 11]
+                    )
+                    q = op2 * nr2  # t·det, shared across the fan
+                    for si in range(s_cnt):
 
-                @pl.when(((smask >> si) & 1) > 0)
-                def _():
-                    d0 = jax.lax.slice_in_dim(
-                        ds[si][0], rg, rg + 1, axis=0
-                    )
-                    d1 = jax.lax.slice_in_dim(
-                        ds[si][1], rg, rg + 1, axis=0
-                    )
-                    d2 = jax.lax.slice_in_dim(
-                        ds[si][2], rg, rg + 1, axis=0
-                    )
-                    x_d = jax.lax.slice_in_dim(
-                        xs[si], rg, rg + 1, axis=0
-                    )
-                    dp2 = d0 * blk[:, 6:7] + d1 * blk[:, 7:8] + d2 * blk[:, 8:9]
-                    det = -(dp2 * nr2)
-                    dets = jnp.abs(det)
-                    qs = jnp.where(det < 0.0, -q, q)  # t·|det|
-                    dp0 = d0 * blk[:, 0:1] + d1 * blk[:, 1:2] + d2 * blk[:, 2:3]
-                    u_s = op0 * dets + qs * dp0
-                    dp1 = d0 * blk[:, 3:4] + d1 * blk[:, 4:5] + d2 * blk[:, 5:6]
-                    v_s = op1 * dets + qs * dp1
-                    m = jnp.minimum(
-                        jnp.minimum(qs, dets - EPSILON),
-                        jnp.minimum(
-                            jnp.minimum(u_s, v_s), dets - (u_s + v_s)
-                        ),
-                    )
-                    blocked8 = (m >= 0.0) & (x_d * dets - qs > 0.0)
-                    hit_any = jnp.max(
-                        blocked8.astype(jnp.float32), axis=0, keepdims=True
-                    )
-                    cur = res_ref[si, rg : rg + 1, :]
-                    res_ref[si, rg : rg + 1, :] = jnp.maximum(cur, hit_any)
-
-            return 0
-
-        return tile_body
+                        @pl.when(((smask >> si) & 1) > 0)
+                        def _():
+                            d0 = jax.lax.slice_in_dim(
+                                ds[si][0], rg, rg + 1, axis=0
+                            )
+                            d1 = jax.lax.slice_in_dim(
+                                ds[si][1], rg, rg + 1, axis=0
+                            )
+                            d2 = jax.lax.slice_in_dim(
+                                ds[si][2], rg, rg + 1, axis=0
+                            )
+                            x_d = jax.lax.slice_in_dim(
+                                xs[si], rg, rg + 1, axis=0
+                            )
+                            dp2 = (
+                                d0 * blk[:, c + 6 : c + 7]
+                                + d1 * blk[:, c + 7 : c + 8]
+                                + d2 * blk[:, c + 8 : c + 9]
+                            )
+                            det = -(dp2 * nr2)
+                            dets = jnp.abs(det)
+                            qs = jnp.where(det < 0.0, -q, q)  # t·|det|
+                            dp0 = (
+                                d0 * blk[:, c + 0 : c + 1]
+                                + d1 * blk[:, c + 1 : c + 2]
+                                + d2 * blk[:, c + 2 : c + 3]
+                            )
+                            u_s = op0 * dets + qs * dp0
+                            dp1 = (
+                                d0 * blk[:, c + 3 : c + 4]
+                                + d1 * blk[:, c + 4 : c + 5]
+                                + d2 * blk[:, c + 5 : c + 6]
+                            )
+                            v_s = op1 * dets + qs * dp1
+                            m = jnp.minimum(
+                                jnp.minimum(qs, dets - EPSILON),
+                                jnp.minimum(
+                                    jnp.minimum(u_s, v_s), dets - (u_s + v_s)
+                                ),
+                            )
+                            blocked8 = (m >= 0.0) & (x_d * dets - qs > 0.0)
+                            hit_any = jnp.max(
+                                blocked8.astype(jnp.float32),
+                                axis=0,
+                                keepdims=True,
+                            )
+                            cur = res_ref[si, rg : rg + 1, :]
+                            res_ref[si, rg : rg + 1, :] = jnp.maximum(
+                                cur, hit_any
+                            )
 
     def cond(n):
         return n >= 0
@@ -474,9 +521,7 @@ def cluster_occlude_fan(
 
                     @pl.when(((rgm >> rg) & 1) > 0)
                     def _():
-                        lax.fori_loop(
-                            0, n_tiles, leaf_rowgroup(rg, tbase, smask), 0
-                        )
+                        leaf_visit(rg, tbase, smask)
 
             return jnp.where(any_hit & (n_tiles == 0), hit_enc, miss)
 
@@ -499,6 +544,8 @@ def cluster_query_chunk(
     occlusion,
     textured,
     dist=None,
+    tpg=1,
+    groups=1,
 ):
     """Nearest hit (or occlusion t) of one 1024-ray chunk against the
     clustered BVH + brute spheres. Results land in res_ref[field, :, :].
@@ -566,8 +613,10 @@ def cluster_query_chunk(
         res_ref[R_UVX] = zero
         res_ref[R_UVY] = zero
 
-    def leaf_rowgroup(rg, n_tiles, tbase):
-        """Test this leaf's tiles against rowgroup rg (128 rays)."""
+    def leaf_visit(rg, gbase):
+        """Test every tile of one leaf (leaf-row-group layout: `groups`
+        blocks of (8, tpg*16), tile j's attr a at static lane j*16+a)
+        against ray rowgroup rg (128 rays)."""
         ro0 = jax.lax.slice_in_dim(o0, rg, rg + 1, axis=0)
         ro1 = jax.lax.slice_in_dim(o1, rg, rg + 1, axis=0)
         ro2 = jax.lax.slice_in_dim(o2, rg, rg + 1, axis=0)
@@ -575,94 +624,125 @@ def cluster_query_chunk(
         rd1 = jax.lax.slice_in_dim(d1, rg, rg + 1, axis=0)
         rd2 = jax.lax.slice_in_dim(d2, rg, rg + 1, axis=0)
 
-        def tile_body(t, _):
-            blk = ct_ref[pl.ds((tbase + t) * TILE, TILE), :]  # (8,16)
-            dp2 = rd0 * blk[:, 6:7] + rd1 * blk[:, 7:8] + rd2 * blk[:, 8:9]
-            op2 = (
-                ro0 * blk[:, 6:7]
-                + ro1 * blk[:, 7:8]
-                + ro2 * blk[:, 8:9]
-                - blk[:, 11:12]
-            )
-            nr2 = blk[:, 12:13]
-            det = -(dp2 * nr2)
-            okd = jnp.abs(det) >= EPSILON
-            t_hit = op2 * nr2 / jnp.where(okd, det, 1.0)
-            dp0 = rd0 * blk[:, 0:1] + rd1 * blk[:, 1:2] + rd2 * blk[:, 2:3]
-            op0 = (
-                ro0 * blk[:, 0:1]
-                + ro1 * blk[:, 1:2]
-                + ro2 * blk[:, 2:3]
-                - blk[:, 9:10]
-            )
-            u = op0 + t_hit * dp0
-            dp1 = rd0 * blk[:, 3:4] + rd1 * blk[:, 4:5] + rd2 * blk[:, 5:6]
-            op1 = (
-                ro0 * blk[:, 3:4]
-                + ro1 * blk[:, 4:5]
-                + ro2 * blk[:, 5:6]
-                - blk[:, 10:11]
-            )
-            v = op1 + t_hit * dp1
-            ok = (
-                okd
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t_hit >= 0.0)
-                & (blk[:, 13:14] > 0.5)
-            )
-            t_cand = jnp.where(ok, t_hit, T_MAX)  # (8,128): tris x rays
-            tmin8 = jnp.min(t_cand, axis=0, keepdims=True)
-            tb = res_ref[R_T, rg : rg + 1, :]
-            better = tmin8 < tb
-            if occlusion:
+        for gg in range(groups):
+            blk = ct_ref[pl.ds((gbase + gg) * TILE, TILE), :]
+            if textured and not occlusion:
+                uvb = cuv_ref[pl.ds((gbase + gg) * TILE, TILE), :]
+            for j in range(tpg):
+                c = j * 16
+                dp2 = (
+                    rd0 * blk[:, c + 6 : c + 7]
+                    + rd1 * blk[:, c + 7 : c + 8]
+                    + rd2 * blk[:, c + 8 : c + 9]
+                )
+                op2 = (
+                    ro0 * blk[:, c + 6 : c + 7]
+                    + ro1 * blk[:, c + 7 : c + 8]
+                    + ro2 * blk[:, c + 8 : c + 9]
+                    - blk[:, c + 11 : c + 12]
+                )
+                nr2 = blk[:, c + 12 : c + 13]
+                det = -(dp2 * nr2)
+                okd = jnp.abs(det) >= EPSILON
+                t_hit = op2 * nr2 / jnp.where(okd, det, 1.0)
+                dp0 = (
+                    rd0 * blk[:, c + 0 : c + 1]
+                    + rd1 * blk[:, c + 1 : c + 2]
+                    + rd2 * blk[:, c + 2 : c + 3]
+                )
+                op0 = (
+                    ro0 * blk[:, c + 0 : c + 1]
+                    + ro1 * blk[:, c + 1 : c + 2]
+                    + ro2 * blk[:, c + 2 : c + 3]
+                    - blk[:, c + 9 : c + 10]
+                )
+                u = op0 + t_hit * dp0
+                dp1 = (
+                    rd0 * blk[:, c + 3 : c + 4]
+                    + rd1 * blk[:, c + 4 : c + 5]
+                    + rd2 * blk[:, c + 5 : c + 6]
+                )
+                op1 = (
+                    ro0 * blk[:, c + 3 : c + 4]
+                    + ro1 * blk[:, c + 4 : c + 5]
+                    + ro2 * blk[:, c + 5 : c + 6]
+                    - blk[:, c + 10 : c + 11]
+                )
+                v = op1 + t_hit * dp1
+                ok = (
+                    okd
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t_hit >= 0.0)
+                    & (blk[:, c + 13 : c + 14] > 0.5)
+                )
+                t_cand = jnp.where(ok, t_hit, T_MAX)  # (8,128): tris x rays
+                tmin8 = jnp.min(t_cand, axis=0, keepdims=True)
+                tb = res_ref[R_T, rg : rg + 1, :]
+                better = tmin8 < tb
+                if occlusion:
+                    res_ref[R_T, rg : rg + 1, :] = jnp.where(
+                        better, tmin8, tb
+                    )
+                    continue
+                is_min = t_cand == tmin8
+                pick = jnp.min(
+                    jnp.where(is_min, subl, jnp.int32(TILE)),
+                    axis=0,
+                    keepdims=True,
+                )
+                sel = (subl == pick).astype(jnp.float32)
+
+                def pick_col(col):
+                    return jnp.sum(sel * col, axis=0, keepdims=True)
+
+                s_nr = jnp.sqrt(jnp.maximum(nr2, 0.0))
                 res_ref[R_T, rg : rg + 1, :] = jnp.where(better, tmin8, tb)
-                return 0
-            is_min = t_cand == tmin8
-            pick = jnp.min(
-                jnp.where(is_min, subl, jnp.int32(TILE)), axis=0, keepdims=True
-            )
-            sel = (subl == pick).astype(jnp.float32)
 
-            def pick_col(col):
-                return jnp.sum(sel * col, axis=0, keepdims=True)
+                def upd(k, val):
+                    cur = res_ref[k, rg : rg + 1, :]
+                    res_ref[k, rg : rg + 1, :] = jnp.where(better, val, cur)
 
-            s_nr = jnp.sqrt(jnp.maximum(nr2, 0.0))
-            res_ref[R_T, rg : rg + 1, :] = jnp.where(better, tmin8, tb)
-
-            def upd(k, val):
-                cur = res_ref[k, rg : rg + 1, :]
-                res_ref[k, rg : rg + 1, :] = jnp.where(better, val, cur)
-
-            # flat normal = Woop row 2 x |e1xe2| (Triangle.hpp:50-56)
-            upd(R_N0, pick_col(blk[:, 6:7] * s_nr))
-            upd(R_N1, pick_col(blk[:, 7:8] * s_nr))
-            upd(R_N2, pick_col(blk[:, 8:9] * s_nr))
-            upd(R_MAT, pick_col(jnp.broadcast_to(blk[:, 14:15], (TILE, 128))))
-            upd(R_EM, pick_col(jnp.broadcast_to(blk[:, 15:16], (TILE, 128))))
-            upd(R_SPH, jnp.zeros((1, 128), jnp.float32))
-            if textured:
-                uvb = cuv_ref[pl.ds((tbase + t) * TILE, TILE), :]
-                u_s = jnp.sum(sel * u, axis=0, keepdims=True)
-                v_s = jnp.sum(sel * v, axis=0, keepdims=True)
-                w_s = 1.0 - u_s - v_s
-                uvx = (
-                    w_s * pick_col(jnp.broadcast_to(uvb[:, 0:1], (TILE, 128)))
-                    + u_s * pick_col(jnp.broadcast_to(uvb[:, 2:3], (TILE, 128)))
-                    + v_s * pick_col(jnp.broadcast_to(uvb[:, 4:5], (TILE, 128)))
+                # flat normal = Woop row 2 x |e1xe2| (Triangle.hpp:50-56)
+                upd(R_N0, pick_col(blk[:, c + 6 : c + 7] * s_nr))
+                upd(R_N1, pick_col(blk[:, c + 7 : c + 8] * s_nr))
+                upd(R_N2, pick_col(blk[:, c + 8 : c + 9] * s_nr))
+                upd(
+                    R_MAT,
+                    pick_col(
+                        jnp.broadcast_to(
+                            blk[:, c + 14 : c + 15], (TILE, 128)
+                        )
+                    ),
                 )
-                uvy = (
-                    w_s * pick_col(jnp.broadcast_to(uvb[:, 1:2], (TILE, 128)))
-                    + u_s * pick_col(jnp.broadcast_to(uvb[:, 3:4], (TILE, 128)))
-                    + v_s * pick_col(jnp.broadcast_to(uvb[:, 5:6], (TILE, 128)))
+                upd(
+                    R_EM,
+                    pick_col(
+                        jnp.broadcast_to(
+                            blk[:, c + 15 : c + 16], (TILE, 128)
+                        )
+                    ),
                 )
-                upd(R_UVX, uvx)
-                upd(R_UVY, uvy)
-            return 0
+                upd(R_SPH, jnp.zeros((1, 128), jnp.float32))
+                if textured:
+                    cu = j * 8
+                    u_s = jnp.sum(sel * u, axis=0, keepdims=True)
+                    v_s = jnp.sum(sel * v, axis=0, keepdims=True)
+                    w_s = 1.0 - u_s - v_s
 
-        return tile_body
+                    def uv_col(cc):
+                        return pick_col(
+                            jnp.broadcast_to(
+                                uvb[:, cu + cc : cu + cc + 1], (TILE, 128)
+                            )
+                        )
+
+                    uvx = w_s * uv_col(0) + u_s * uv_col(2) + v_s * uv_col(4)
+                    uvy = w_s * uv_col(1) + u_s * uv_col(3) + v_s * uv_col(5)
+                    upd(R_UVX, uvx)
+                    upd(R_UVY, uvy)
 
     def cond(n):
         return n >= 0
@@ -712,9 +792,7 @@ def cluster_query_chunk(
 
                 @pl.when(((mask >> rg) & 1) > 0)
                 def _():
-                    lax.fori_loop(
-                        0, n_tiles, leaf_rowgroup(rg, n_tiles, tbase), 0
-                    )
+                    leaf_visit(rg, tbase)
 
         nxt = jnp.where(any_hit & (n_tiles == 0), hit_enc, miss)
         if occlusion and dist is not None:

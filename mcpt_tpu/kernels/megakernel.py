@@ -1072,6 +1072,7 @@ def _make_intersect_fns(
     clustered,
     any_textured,
     ablate=frozenset(),
+    cl_groups=1,
 ):
     """(isect(o,d) -> fused hit tuple, occlude_fan(o, ds, dists) -> [t]) on
     (8,128) chunk tiles: SMEM brute loop for small scenes, clustered-BVH
@@ -1113,6 +1114,8 @@ def _make_intersect_fns(
 
         return isect, occlude_fan
 
+    tpg = ct_ref.shape[1] // 16  # leaf-row-group tiles per block
+
     def isect(o, d):
         cluster_query_chunk(
             cn_ref,
@@ -1125,6 +1128,8 @@ def _make_intersect_fns(
             n_sph=n_sph,
             occlusion=False,
             textured=any_textured,
+            tpg=tpg,
+            groups=cl_groups,
         )
         t = res_ref[R_T]
         happened = t < T_MAX
@@ -1151,7 +1156,7 @@ def _make_intersect_fns(
         # ref reads (copies), safe across res_ref reuse.
         return cluster_occlude_fan(
             cn_ref, ct_ref, sph_ref, res_ref, o, ds, dists, n_sph=n_sph,
-            mask=mask,
+            mask=mask, tpg=tpg, groups=cl_groups,
         )
 
     return isect, occlude_fan
@@ -1188,6 +1193,7 @@ def _mega_kernel(
     enable_shadow,
     any_textured,
     clustered,
+    cl_groups,
     use_env,
     ablate,
     unroll,  # regen-only; ignored here
@@ -1266,6 +1272,7 @@ def _mega_kernel(
         _isect, _ofan = _make_intersect_fns(
             tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
             n_tris, n_occ, n_sph, clustered, any_textured, ablate=ablate,
+            cl_groups=cl_groups,
         )
         ctx["occlude_fan"] = _ofan
 
@@ -1460,6 +1467,7 @@ def _mega_kernel_regen(
     enable_shadow,
     any_textured,
     clustered,
+    cl_groups,
     use_env,
     ablate,
     unroll,
@@ -1571,6 +1579,7 @@ def _mega_kernel_regen(
         _isect, _ofan = _make_intersect_fns(
             tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
             n_tris, n_occ, n_sph, clustered, any_textured, ablate=ablate,
+            cl_groups=cl_groups,
         )
         ctx["occlude_fan"] = _ofan
 
@@ -2128,6 +2137,7 @@ def trace_mega_block(
         enable_shadow=pack.enable_shadow,
         any_textured=any_textured,
         clustered=clustered,
+        cl_groups=pack.cl_groups,
         use_env=pack.use_env,
         # Perf-debug only: MCPT_MEGA_ABLATE=mat,mfn,nee_eval,bounce_eval
         # stubs out kernel components to attribute runtime (results are

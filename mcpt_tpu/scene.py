@@ -204,9 +204,12 @@ class ScenePack:
     # clustered-BVH megakernel tables (kernels/cluster.py); None for small
     # scenes that brute-force from SMEM
     cl_nodes: jnp.ndarray = None  # (R, 128) SMEM node rows
-    cl_tris: jnp.ndarray = None  # (8*n_tiles, 16) VMEM triangle tiles
-    cl_uv: jnp.ndarray = None  # (8*n_tiles, 8) VMEM uv tiles (dummy if untextured)
+    # leaf-row-group layout (kernels/cluster.py ClusterTables): `cl_groups`
+    # blocks of (8, tpg*16) per leaf, tpg = cl_tris.shape[1] // 16
+    cl_tris: jnp.ndarray = None  # (n_leaves*cl_groups*8, tpg*16) VMEM
+    cl_uv: jnp.ndarray = None  # (n_leaves*cl_groups*8, tpg*8) (dummy if untextured)
     n_cl_nodes: int = struct.field(pytree_node=False, default=0)
+    cl_groups: int = struct.field(pytree_node=False, default=1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -582,6 +585,7 @@ class Scene:
         # table inside the 1 MB SMEM.
         cl_nodes = cl_tris = cl_uv = None
         n_cl_nodes = 0
+        cl_groups = 1
         cl_textured = False
         # cluster_threshold below the SMEM budget forces the clustered path
         # on small scenes — used by tests to cross-validate the two
@@ -608,6 +612,7 @@ class Scene:
             cl_tris = jnp.asarray(ct.tris)
             cl_uv = jnp.asarray(ct.uv)
             n_cl_nodes = ct.n_nodes
+            cl_groups = ct.groups
 
         rr = np.float32(self.rr_rate)
         return ScenePack(
@@ -615,6 +620,7 @@ class Scene:
             cl_tris=cl_tris,
             cl_uv=cl_uv,
             n_cl_nodes=n_cl_nodes,
+            cl_groups=cl_groups,
             tri_v0=jnp.asarray(v0),
             tri_e1=jnp.asarray(e1),
             tri_e2=jnp.asarray(e2),

@@ -29,6 +29,7 @@ from benchmarks.chessboard import chessboard_conf, tile_means
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 GOLDEN = "/root/reference/final_render_result_dark_without_dof.png"
+GOLDEN_SKY = "/root/reference/final_render_result_sky_with_dof.png"
 
 
 @pytest.mark.slow
@@ -91,3 +92,69 @@ def test_chessboard_tiles_vs_reference_golden():
         left = band[:, 2:10].mean()
         right = band[:, 14:22].mean()
         assert left > right, (name, left, right)
+
+
+def test_chessboard_sky_tiles_vs_reference_golden():
+    """Structural comparison of the sky+DoF flagship artifact — the
+    reference's HEADLINE published render (README.md:18-23,
+    final_render_result_sky_with_dof.png) — mirroring the dark test's
+    weak-anchor philosophy (exact colors are unreproducible: the upstream
+    sky.png asset is missing from the mount, ours is procedural).
+
+    Checks, each applied to BOTH our artifact and the golden so the
+    assertion is about shared structure, not absolute values:
+      1. geometry-band asymmetry: lit white-pawn side brighter than the
+         glass side (measured: golden 0.40 vs 0.22, ours 0.42 vs 0.31);
+      2. sky framing: the top (sky) band is brighter than the geometry
+         band (golden 0.58 vs 0.33, ours 0.67 vs 0.38) — the defining
+         difference from the dark variant."""
+    tiles_path = os.path.join(DATA, "chessboard_sky_tiles.npy")
+    if not (os.path.exists(tiles_path) and os.path.exists(GOLDEN_SKY)):
+        pytest.skip("TPU render artifact or reference golden not available")
+    from mcpt_tpu.io.png import read_png
+
+    ours = np.load(tiles_path)  # (13, 24, 3) linear tile means
+    gimg = read_png(GOLDEN_SKY)[:, :, :3].astype(np.float32) / 255.0
+    gt = tile_means(gimg ** (1.0 / 0.45))
+    for t, name in ((ours, "ours"), (gt, "golden")):
+        lum = t.mean(-1)
+        band = lum[4:10]
+        left = band[:, 2:10].mean()
+        right = band[:, 14:22].mean()
+        assert left > right * 1.1, (name, left, right)
+        sky_top = lum[0:3].mean()
+        mid = lum[5:9].mean()
+        assert sky_top > mid * 1.3, (name, sky_top, mid)
+
+
+def test_chessboard_sky_dof_blur_structure():
+    """DoF-specific signal on the full-resolution artifacts: with the
+    conf.json thin lens (focus 3036.98, aperture 10) the near-camera floor
+    is far out of focus while the mid-board region sits near the focal
+    plane, so NORMALIZED gradient energy (mean |grad| / std, lighting-
+    independent) in the bottom rows must be well below the focal band's.
+    Measured: ours 0.061, golden 0.442 — while the golden's no-DoF dark
+    render scores 0.80 (and a no-DoF sky render would show the crisp
+    checker floor, pushing the ratio toward it). Bound 0.7 catches a
+    broken-DoF (pinhole-fallback) regression on either artifact."""
+    ours_png = os.path.join(
+        os.path.dirname(DATA), "..", "assets", "renders", "chessboard_sky.png"
+    )
+    if not (os.path.exists(ours_png) and os.path.exists(GOLDEN_SKY)):
+        pytest.skip("full-res artifact or reference golden not available")
+    from mcpt_tpu.io.png import read_png
+
+    def norm_sharp(img, r0, r1):
+        lum = (img[:, :, :3].astype(np.float32) / 255.0).mean(-1)[r0:r1]
+        g = 0.5 * (
+            np.abs(np.diff(lum, axis=1)).mean()
+            + np.abs(np.diff(lum, axis=0)).mean()
+        )
+        return g / max(lum.std(), 1e-9)
+
+    for name, path in (("ours", ours_png), ("golden", GOLDEN_SKY)):
+        img = read_png(path)
+        h = img.shape[0]
+        fg = norm_sharp(img, int(h * 0.787), h)
+        mid = norm_sharp(img, int(h * 0.417), int(h * 0.648))
+        assert fg < 0.7 * mid, (name, fg, mid)

