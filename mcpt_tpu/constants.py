@@ -16,7 +16,11 @@ EPSILON = 1e-4
 # max(EPSILON, REL_EPS * scale) = ~34 f32 ULPs of the quantity — large
 # enough to absorb Woop/Moller-Trumbore rounding noise, geometrically
 # negligible (8e-3 units at chessboard scale).
-REL_EPS = 4e-6
+# MCPT_REL_EPS overrides (parity experiments only — e.g. 0 reproduces the
+# reference's absolute-epsilon behavior, incl. its f32 failure modes).
+import os as _os
+
+REL_EPS = float(_os.environ.get("MCPT_REL_EPS", "4e-6"))
 
 # Firefly clamps applied per path vertex (reference: Scene.cpp:180-182).
 CLAMP_INDIRECT = 5.0

@@ -624,6 +624,16 @@ def cluster_query_chunk(
         rd1 = jax.lax.slice_in_dim(d1, rg, rg + 1, axis=0)
         rd2 = jax.lax.slice_in_dim(d2, rg, rg + 1, axis=0)
 
+        # Winner accumulators live in registers across the leaf's static
+        # tile loop; res_ref is read once before and written once after
+        # (the per-tile read-modify-writes were ~9 VMEM round-trips per
+        # tile).
+        acc_t = res_ref[R_T, rg : rg + 1, :]
+        if not occlusion:
+            acc = {
+                k: res_ref[k, rg : rg + 1, :]
+                for k in (R_N0, R_N1, R_N2, R_MAT, R_EM, R_SPH, R_UVX, R_UVY)
+            }
         for gg in range(groups):
             blk = ct_ref[pl.ds((gbase + gg) * TILE, TILE), :]
             if textured and not occlusion:
@@ -680,12 +690,9 @@ def cluster_query_chunk(
                 )
                 t_cand = jnp.where(ok, t_hit, T_MAX)  # (8,128): tris x rays
                 tmin8 = jnp.min(t_cand, axis=0, keepdims=True)
-                tb = res_ref[R_T, rg : rg + 1, :]
-                better = tmin8 < tb
+                better = tmin8 < acc_t
                 if occlusion:
-                    res_ref[R_T, rg : rg + 1, :] = jnp.where(
-                        better, tmin8, tb
-                    )
+                    acc_t = jnp.where(better, tmin8, acc_t)
                     continue
                 is_min = t_cand == tmin8
                 pick = jnp.min(
@@ -699,11 +706,10 @@ def cluster_query_chunk(
                     return jnp.sum(sel * col, axis=0, keepdims=True)
 
                 s_nr = jnp.sqrt(jnp.maximum(nr2, 0.0))
-                res_ref[R_T, rg : rg + 1, :] = jnp.where(better, tmin8, tb)
+                acc_t = jnp.where(better, tmin8, acc_t)
 
                 def upd(k, val):
-                    cur = res_ref[k, rg : rg + 1, :]
-                    res_ref[k, rg : rg + 1, :] = jnp.where(better, val, cur)
+                    acc[k] = jnp.where(better, val, acc[k])
 
                 # flat normal = Woop row 2 x |e1xe2| (Triangle.hpp:50-56)
                 upd(R_N0, pick_col(blk[:, c + 6 : c + 7] * s_nr))
@@ -743,6 +749,10 @@ def cluster_query_chunk(
                     uvy = w_s * uv_col(1) + u_s * uv_col(3) + v_s * uv_col(5)
                     upd(R_UVX, uvx)
                     upd(R_UVY, uvy)
+        res_ref[R_T, rg : rg + 1, :] = acc_t
+        if not occlusion:
+            for k in (R_N0, R_N1, R_N2, R_MAT, R_EM, R_SPH, R_UVX, R_UVY):
+                res_ref[k, rg : rg + 1, :] = acc[k]
 
     def cond(n):
         return n >= 0
