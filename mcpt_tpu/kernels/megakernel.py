@@ -92,6 +92,12 @@ FOLD_W_CAP = 1.0e30
 # In-kernel environment-map mip (secondary bounces only; primary misses are
 # shaded full-res by a deferred pass — see render_mega). 16x32 equirect
 # texels = 11.25° each; K must be a multiple of 128 lanes.
+# Measured approximation error vs the full-res wavefront oracle
+# (tests/test_mega_env.py::test_mega_env_structured_map_bounded_error,
+# demo box, whole-image mean): smooth gradient/sky maps ≤0.5%; a 5.6°
+# (strictly sub-texel) checkerboard 0.82%; a single-texel 20x point sun
+# on a dark sky 2.6% (the worst case: concentrated energy smeared over
+# one 11.25° texel). CI bounds sit at 10%/15% over those measurements.
 ENV_MIP_H = 16
 ENV_MIP_W = 32
 ENV_MIP_K = ENV_MIP_H * ENV_MIP_W
