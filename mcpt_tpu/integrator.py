@@ -135,7 +135,18 @@ def direct_lighting_c(pack, key, wo, p, n, uv, m, lam, chan, is_reflect, method)
         # strictly closer than the light sample by a RELATIVE margin. It
         # differs from the reference only for blockers within eps·dist of
         # the light surface — geometry effectively ON the light.
-        visible = sh_t >= dist - jnp.maximum(EPSILON, REL_EPS * dist)
+        # MCPT_VIS_PARITY=1 (parity experiments only): the reference's
+        # two-sided band verbatim, INCLUDING its f32 failure mode — the
+        # nearest hit is the light itself, but a few ULPs of rounding can
+        # push |t − dist| past the absolute 1e-4 and drop a genuinely
+        # visible sample. Used to attribute the golden-vs-ours brightness
+        # gap (see PARITY.md).
+        import os as _os
+
+        if _os.environ.get("MCPT_VIS_PARITY", "0") == "1":
+            visible = jnp.abs(sh_t - dist) < EPSILON
+        else:
+            visible = sh_t >= dist - jnp.maximum(EPSILON, REL_EPS * dist)
     else:
         visible = jnp.ones((s, b), bool)
 

@@ -13,12 +13,24 @@ quadrant-mean noise ≈ 1.5/255):
   f32-scale-robust shadow offsets eliminate phantom self-intersection
   vertices the golden's double-precision renderer never had, shifting
   marginal Dirac/rough-dielectric paths);
-- every quadrant mean within 6.5/255 (the top-left quadrant carries a
-  measured ~4-5.5/255 systematic gap vs the golden — the reference's
-  default-seeded, correlated RNG draws (SURVEY.md §5) are not
-  reproducible, and our f32-robust relative-epsilon shadow test keeps
-  marginal visible samples the golden's noise profile loses — so the
-  quadrant bound sits just above the measured gap).
+- every quadrant mean within 6.5/255. The top-left quadrant carries a
+  measured ~4-6/255 SYSTEMATIC gap vs the golden, root-caused in round 4
+  by BUILDING AND RUNNING the reference itself (g++ + a minimal Eigen
+  shim, DEMO scene, spp=512):
+    * the fresh reference render matches the checked-in golden to
+      0.37/255 (quad max) — the golden is authentic and current, and the
+      old "correlated default-seeded RNG" attribution is FALSIFIED (the
+      golden's high-frequency noise floor equals ours: 5.35 vs 5.37);
+    * the gap is the reference's two-sided shadow visibility band
+      |t_nearest − dist| < 1e-4 (Scene.cpp:73-75): at demo scale in f32
+      (ULP(500) ≈ 6e-5) a few ULPs of intersection rounding push
+      genuinely-visible light samples out of the band. Our robust
+      one-sided predicate keeps them: rendering with the band verbatim
+      (MCPT_VIS_PARITY=1) lands ~6/255 BELOW the fresh reference (our
+      Woop t-rounding loses even more samples to the band), while the
+      robust form lands ~4/255 above — bracketing the reference between
+      the two predicates. The brightness surplus is a deliberate,
+      documented correctness improvement, not a bug (PARITY.md row 3).
 """
 
 import dataclasses
