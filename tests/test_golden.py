@@ -113,3 +113,22 @@ def test_golden_detects_injected_bias(rendered, golden_small):
     assert dm.max() >= 2.5, (
         f"golden mean check failed to detect an injected 5% bias: {dm}"
     )
+
+
+def test_fresh_reference_matches_checked_in_golden():
+    """Provenance lock: the spp-512 render produced by BUILDING AND RUNNING
+    the reference (benchmarks/ref_oracle/build_and_run.sh, round 4) must
+    keep matching the checked-in golden — this pins the golden's
+    authenticity (quad means agreed to 0.37/255 when rendered) and guards
+    the archived artifact against accidental regeneration drift."""
+    fresh_path = os.path.join(
+        os.path.dirname(__file__), "data", "reference_fresh_demo_spp512.png"
+    )
+    if not os.path.exists(fresh_path):
+        pytest.skip("fresh reference render not archived")
+    fresh = read_png(fresh_path)[:, :, :3].astype(np.float64)
+    gold = read_png(GOLDEN)[:, :, :3].astype(np.float64)
+    q = lambda x: x.reshape(2, 192, 2, 192, 3).mean(axis=(1, 3))
+    assert np.abs(q(fresh) - q(gold)).max() < 1.0
+    corr = np.corrcoef(fresh.mean(-1).ravel(), gold.mean(-1).ravel())[0, 1]
+    assert corr > 0.99, corr
