@@ -484,7 +484,7 @@ def cluster_occlude_fan(
             # shadow samples stay unblocked, so per-sample settled-skip
             # masks saved little leaf work while costing S full
             # vector->scalar reductions per node.
-            hit_u = None
+            rgmask = jnp.zeros((CH_SUB, 1), jnp.float32)
             smask = jnp.int32((1 << s_cnt) - 1)
             for si in range(s_cnt):
                 iv0, iv1, iv2 = dinv[si]
@@ -509,12 +509,14 @@ def cluster_occlude_fan(
                     & (tmin - EPSILON <= xs[si])
                     & live
                 )
-                hit_u = hit if hit_u is None else (hit_u | hit)
+                # per-sample lane reduction then sublane max: measured
+                # FASTER than folding the samples elementwise first (both
+                # a bool-| and an f32-max union chain lost ~7% — the
+                # per-sample reduces apparently pipeline better here)
+                rg_si = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+                rgmask = jnp.maximum(rgmask, rg_si)
 
-            # ONE lane-reduction over the elementwise sample union (the
-            # per-sample reductions were ~4x the cost for the same bits)
-            rg_any = jnp.max(hit_u.astype(jnp.float32), axis=1, keepdims=True)
-            rgm = jnp.sum(rg_any * rg_pow).astype(jnp.int32)
+            rgm = jnp.sum(rgmask * rg_pow).astype(jnp.int32)
             any_hit = rgm > 0
             is_leaf = n_tiles > 0
 
