@@ -2400,7 +2400,14 @@ def render_mega(
     # -> 7 blocks). The remainder's second kernel shape is one extra
     # (persistently cached) compile.
     blk_lanes = _block_lanes(pack)
-    lanes_pad = -(-lanes // CHUNK) * CHUNK
+    if os.environ.get("MCPT_MEGA_FULLBLOCKS", "0") == "1":  # perf A/B only
+        lanes_pad = (
+            -(-lanes // blk_lanes) * blk_lanes
+            if lanes > blk_lanes
+            else -(-lanes // CHUNK) * CHUNK
+        )
+    else:
+        lanes_pad = -(-lanes // CHUNK) * CHUNK
     any_t = bool(np.asarray(pack.mat_textured).any())
     t0 = time.monotonic()
     rad = np.zeros(lanes_pad, np.float32)
