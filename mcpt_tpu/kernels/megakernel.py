@@ -266,18 +266,21 @@ def _env_mip_lookup(env_ref, wi, is_r, is_g, is_b):
 # ---------------------------------------------------------------------------
 
 def _lane_to_pixel(lane, cam):
-    """(virtual lane) -> (actual pixel id, channel, fi, fj, actual lane).
+    """(virtual lane) -> (pixel id, channel, fi, fj, actual lane, stream).
 
     Without tiling the virtual lane IS pixel*3+chan (pixel-major scanline
-    order: a 1024-lane chunk covers a ~341x1 pixel strip). With cam["tile"]
-    = (TW, TH, TPR) the virtual pixel axis is permuted into TWxTH image
-    tiles (row-major tiles over a padded W=TPR*TW grid), so each chunk's
-    rays originate from a COMPACT 2-D pixel block — on clustered (big-BVH)
-    scenes the union of BVH nodes a chunk's walk must visit shrinks with
-    the chunk's spatial footprint, which bounds big-scene throughput (see
-    PERF.md). RNG keys and camera math use the ACTUAL pixel/lane ids, so
-    tiled and untiled renders are bitwise identical; the host scatters the
-    virtually-ordered output planes back to image order (render_mega).
+    order: a 1024-lane chunk covers a ~341x1 pixel strip; stream is 0).
+    With cam["tile"] = (TW, TH, TPR, S) the virtual pixel axis is permuted
+    into TWxTH tiles over a padded W x (H*S) grid: virtual row j maps to
+    real row j//S and SAMPLE STREAM j%S — each pixel owns S lanes, each
+    rendering the samples s ≡ stream (mod S) of its budget. A chunk's
+    spatial footprint shrinks S-fold (8x64 virtual tile at S=8 = an 8x8
+    PIXEL block), which is what bounds the clustered walks (PERF.md); the
+    union of BVH nodes per chunk shrinks with it. RNG keys and camera
+    math use the ACTUAL pixel/lane/sample ids, so tiled/streamed renders
+    are bitwise identical to the plain render; the host scatters (and
+    stream-sums) the virtually-ordered output planes back to image order
+    (render_mega).
     """
     vp = lane // 3
     chan = lane - vp * 3
@@ -286,8 +289,8 @@ def _lane_to_pixel(lane, cam):
         pix = vp
         fi = (pix % cam["width"]).astype(jnp.float32)
         fj = (pix // cam["width"]).astype(jnp.float32)
-        return pix, chan, fi, fj, lane
-    tw, th, tpr = tile
+        return pix, chan, fi, fj, lane, jnp.zeros_like(pix)
+    tw, th, tpr, s_streams = tile
     tidx = vp // (tw * th)
     wp = vp - tidx * (tw * th)
     ty = tidx // tpr
@@ -295,11 +298,13 @@ def _lane_to_pixel(lane, cam):
     yi = wp // tw
     xi = wp - yi * tw
     i = tx * tw + xi
-    j = ty * th + yi
+    jv = ty * th + yi
+    j = jv // s_streams
+    stream = jv - j * s_streams
     pix = j * cam["width"] + i
     return (
         pix, chan, i.astype(jnp.float32), j.astype(jnp.float32),
-        pix * 3 + chan,
+        pix * 3 + chan, stream,
     )
 
 
@@ -1208,8 +1213,11 @@ def _mega_kernel(
     assert not use_env, "env scenes require the regen kernel"
     seed = scal_ref[0, 0].astype(jnp.uint32)
     lane_off = scal_ref[0, 1]
+    # per-lane sample BUDGET; with stream splitting (cam["tile"][3] = S > 1)
+    # a lane renders every S-th sample of its pixel, so spp = spp_total / S
     spp = scal_ref[0, 2]
     lane_stride = scal_ref[0, 3]
+    spp_total = scal_ref[0, 4]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
@@ -1218,6 +1226,7 @@ def _mega_kernel(
     rr_rate = par_ref[0, 3]
     inv_rr = par_ref[0, 4]
     total_area = par_ref[0, 5]
+    n_streams = cam["tile"][3] if cam.get("tile") else 1
 
     def chunk_body(rc, _):
         r0 = rc * CH_ROWS
@@ -1227,7 +1236,7 @@ def _mega_kernel(
         # per-device work stays balanced (sky rows terminate early, interior
         # rows bounce — contiguous ranges were ~83% balanced at 8 devices).
         vlane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
-        pix, chan, fi, fj, lane = _lane_to_pixel(vlane, cam)
+        pix, chan, fi, fj, lane, stream = _lane_to_pixel(vlane, cam)
         pix_u = pix.astype(jnp.uint32)
         lane_u = lane.astype(jnp.uint32)
         lam = jnp.where(
@@ -1435,7 +1444,9 @@ def _mega_kernel(
 
         zero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
         rad, rays = lax.fori_loop(0, spp, spp_body, (zero, zero))
-        out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
+        out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp_total.astype(
+            jnp.float32
+        )
         out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
         return 0
 
@@ -1515,8 +1526,11 @@ def _mega_kernel_regen(
     """
     seed = scal_ref[0, 0].astype(jnp.uint32)
     lane_off = scal_ref[0, 1]
+    # per-lane sample BUDGET; with stream splitting (cam["tile"][3] = S > 1)
+    # a lane renders every S-th sample of its pixel, so spp = spp_total / S
     spp = scal_ref[0, 2]
     lane_stride = scal_ref[0, 3]
+    spp_total = scal_ref[0, 4]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
@@ -1525,6 +1539,7 @@ def _mega_kernel_regen(
     rr_rate = par_ref[0, 3]
     inv_rr = par_ref[0, 4]
     total_area = par_ref[0, 5]
+    n_streams = cam["tile"][3] if cam.get("tile") else 1
 
     def chunk_body(rc, _):
         r0 = rc * CH_ROWS
@@ -1534,7 +1549,7 @@ def _mega_kernel_regen(
         # per-device work stays balanced (sky rows terminate early, interior
         # rows bounce — contiguous ranges were ~83% balanced at 8 devices).
         vlane = lane_off + ((r0 + row_iota) * LANE + col_iota) * lane_stride
-        pix, chan, fi, fj, lane = _lane_to_pixel(vlane, cam)
+        pix, chan, fi, fj, lane, stream = _lane_to_pixel(vlane, cam)
         pix_u = pix.astype(jnp.uint32)
         lane_u = lane.astype(jnp.uint32)
         lam = jnp.where(
@@ -1590,10 +1605,13 @@ def _mega_kernel_regen(
         ctx["occlude_fan"] = _ofan
 
         def cam_ray(s_vec):
-            """Camera ray of per-lane sample index s_vec (Renderer.cpp:44-76);
-            draws key on (pixel, sample) only."""
+            """Camera ray of per-lane BUDGET index s_vec (Renderer.cpp:44-76);
+            the ACTUAL sample id is stream + s_vec*S, so draws key on
+            (pixel, actual sample) only — identical streams regardless of
+            how samples are split across lanes."""
+            s_act = stream + s_vec * n_streams
             mix = (
-                s_vec.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                s_act.astype(jnp.uint32) * _U(0x0ED5AD4D)
                 + seed * _U(0x01000193)
             )
             camdraw = lambda c: _unit(
@@ -1734,10 +1752,11 @@ def _mega_kernel_regen(
             zf = jnp.zeros_like(fC)
 
             def _full_vertex(_):
+                s_act = stream + s_lane * n_streams
                 draw = lambda use: _unit(
                     _murmur(
                         lane_u * _U(0x9E3779B1)
-                        + s_lane.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                        + s_act.astype(jnp.uint32) * _U(0x0ED5AD4D)
                         + d_lane.astype(jnp.uint32) * _U(0x9E3779B9)
                         + seed * _U(0x01000193)
                         + _U((use * 0x632BE59B) & 0xFFFFFFFF)
@@ -1899,7 +1918,9 @@ def _mega_kernel_regen(
         ) // jnp.int32(unroll)
         state = lax.fori_loop(0, total_iters, iter_body, state0)
         rad, rays = state[7], state[8]
-        out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp.astype(jnp.float32)
+        out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp_total.astype(
+            jnp.float32
+        )
         out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
         if use_env:
             out_ref[2, pl.ds(r0, CH_ROWS), :] = state[9]
@@ -2115,6 +2136,12 @@ def trace_mega_block(
     assert n_lanes % CHUNK == 0, n_lanes
     # the regen kernel packs the per-lane depth into 5 bits of the counter
     assert max_bounces <= 32, max_bounces
+    n_streams = tile[3] if tile else 1
+    # stream splitting divides each pixel's sample budget across S lanes;
+    # only the regen kernel understands per-lane budgets. _pick_tile clamps
+    # S to divide spp (spp itself is traced here, so no divisibility check).
+    assert regen or n_streams == 1, "stream splitting requires regen=True"
+    spp_eff = spp // n_streams
     (tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct,
      cuv) = mega_tables(pack)
     clustered = pack.n_cl_nodes > 0
@@ -2123,9 +2150,10 @@ def trace_mega_block(
         [
             jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(lane_offset, jnp.int32).reshape(1),
-            jnp.asarray(spp, jnp.int32).reshape(1),
+            jnp.asarray(spp_eff, jnp.int32).reshape(1),
             jnp.asarray(lane_stride, jnp.int32).reshape(1),
-            jnp.zeros(4, jnp.int32),
+            jnp.asarray(spp, jnp.int32).reshape(1),
+            jnp.zeros(3, jnp.int32),
         ]
     )[None, :]
     kernel = functools.partial(
@@ -2193,10 +2221,16 @@ TILE_W = 8
 TILE_H = 64
 
 
-def _pick_tile(pack, camera):
-    """Tile geometry (tw, th, tpr, wpad, hpad) for clustered scenes, else
-    None. Small (SMEM brute-force) scenes gain nothing from ray coherence —
-    every chunk tests every primitive — so they keep scanline order."""
+def _pick_tile(pack, camera, spp=None, regen=True):
+    """Tile geometry (tw, th, tpr, wpad, hpad, streams) for clustered
+    scenes, else None. Small (SMEM brute-force) scenes gain nothing from
+    ray coherence — every chunk tests every primitive — so they keep
+    scanline order.
+
+    `streams` (MCPT_MEGA_STREAMS, default 8 for clustered regen renders)
+    splits each pixel's sample budget across S lanes so a chunk's pixel
+    footprint shrinks S-fold (see _lane_to_pixel); S is clamped to a
+    power of two dividing spp, 1 for the lockstep kernel."""
     mode = os.environ.get("MCPT_MEGA_TILE", "auto")
     if mode == "0":
         return None
@@ -2206,27 +2240,33 @@ def _pick_tile(pack, camera):
         return None
     else:
         tw, th = TILE_W, TILE_H
+    streams = int(os.environ.get("MCPT_MEGA_STREAMS", "8"))
+    if not regen:
+        streams = 1
+    while streams > 1 and (spp is None or spp % streams):
+        streams //= 2
     tpr = -(-camera.width // tw)
-    hpad = -(-camera.height // th) * th
-    return tw, th, tpr, tw * tpr, hpad
+    hpad = -(-(camera.height * streams) // th) * th
+    return tw, th, tpr, tw * tpr, hpad, streams
 
 
 def _scatter_virtual(plane_flat, tile, w, h):
     """Scatter a virtually-ordered (lanes_v,) lane plane back to (h, w, 3)
-    image order (inverse of _lane_to_pixel's tile permutation); virtual
-    pixels padded past the image edge are dropped."""
-    tw, th, tpr, wpad, hpad = tile
+    image order (inverse of _lane_to_pixel's tile permutation), SUMMING a
+    pixel's S sample-stream lanes; virtual pixels padded past the image
+    edge are dropped."""
+    tw, th, tpr, wpad, hpad, streams = tile
     arr = np.asarray(plane_flat)[: wpad * hpad * 3].reshape(-1, 3)
     vp = np.arange(wpad * hpad)
     tidx, wp = np.divmod(vp, tw * th)
     ty, tx = np.divmod(tidx, tpr)
     yi, xi = np.divmod(wp, tw)
     ii = tx * tw + xi
-    jj = ty * th + yi
+    jj = (ty * th + yi) // streams
     valid = (ii < w) & (jj < h)
-    img = np.zeros((h, w, 3), arr.dtype)
-    img[jj[valid], ii[valid]] = arr[valid]
-    return img
+    img = np.zeros((h, w, 3), np.float64)
+    np.add.at(img, (jj[valid], ii[valid]), arr[valid])
+    return img.astype(arr.dtype)
 
 
 def render_mega_sharded(
@@ -2266,10 +2306,10 @@ def render_mega_sharded(
     devices = list(devices if devices is not None else jax.devices())
     nd = len(devices)
     w, h = camera.width, camera.height
-    tile = _pick_tile(pack, camera)
+    tile = _pick_tile(pack, camera, spp=spp, regen=regen)
     if tile:
         lanes = tile[3] * tile[4] * 3  # wpad * hpad * 3 virtual lanes
-        tile_static = tile[:3]
+        tile_static = tile[:3] + (tile[5],)
     else:
         lanes = w * h * 3
         tile_static = None
@@ -2386,11 +2426,11 @@ def render_mega(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     w, h = camera.width, camera.height
-    tile = _pick_tile(pack, camera)
+    tile = _pick_tile(pack, camera, spp=spp, regen=regen)
     if tile:
-        tw, th, tpr, wpad, hpad = tile
+        tw, th, tpr, wpad, hpad, streams = tile
         lanes = wpad * hpad * 3
-        tile_static = (tw, th, tpr)
+        tile_static = (tw, th, tpr, streams)
     else:
         lanes = w * h * 3
         tile_static = None

@@ -482,3 +482,33 @@ def test_mega_clustered_matches_dense(tmp_path):
     )
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.3
+
+
+def test_mega_stream_split_equivalent(monkeypatch):
+    """Sample-stream splitting (MCPT_MEGA_STREAMS): each pixel's sample
+    budget spreads over S lanes (lane stream q renders samples ≡ q mod S),
+    shrinking a chunk's pixel footprint S-fold for the clustered walks.
+    The RNG keys on the ACTUAL (pixel, sample) ids, so the sample SET —
+    and the traced-ray count — is identical; the image matches the
+    unsplit render except on ULP-tied nearest-hit ties, where the
+    regrouped chunks visit leaves in a different order and the winner
+    select may pick the other co-incident triangle (same class the
+    clustered-vs-SMEM comparison tolerates)."""
+    import dataclasses
+
+    sc = demo_scene()
+    pack = sc.compile(cluster_threshold=8)
+    cam = dataclasses.replace(sc.camera, width=33, height=21)
+
+    monkeypatch.setenv("MCPT_MEGA_STREAMS", "1")
+    img1, st1 = render_mega(
+        pack, cam, spp=4, seed=5, max_bounces=3, interpret=True
+    )
+    monkeypatch.setenv("MCPT_MEGA_STREAMS", "4")
+    img4, st4 = render_mega(
+        pack, cam, spp=4, seed=5, max_bounces=3, interpret=True
+    )
+    diff = np.abs(img1 - img4)
+    assert float((diff.max(-1) > 1e-3).mean()) < 0.01
+    assert abs(float(img1.mean() - img4.mean())) < 5e-3
+    assert st1["rays"] == st4["rays"]
