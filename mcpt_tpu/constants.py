@@ -20,7 +20,26 @@ EPSILON = 1e-4
 # reference's absolute-epsilon behavior, incl. its f32 failure modes).
 import os as _os
 
-REL_EPS = float(_os.environ.get("MCPT_REL_EPS", "4e-6"))
+_REL_EPS_DEFAULT = 4e-6
+try:
+    REL_EPS = float(_os.environ.get("MCPT_REL_EPS", _REL_EPS_DEFAULT))
+except ValueError:
+    raise ValueError(
+        "MCPT_REL_EPS must be a finite number >= 0, got "
+        f"{_os.environ['MCPT_REL_EPS']!r}"
+    ) from None
+if not (REL_EPS >= 0.0 and np.isfinite(REL_EPS)):
+    raise ValueError(f"MCPT_REL_EPS must be finite and >= 0, got {REL_EPS}")
+if REL_EPS != _REL_EPS_DEFAULT:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"MCPT_REL_EPS={REL_EPS} overrides the default "
+        f"{_REL_EPS_DEFAULT}: shadow-visibility predicates and "
+        "self-intersection margins differ from production behavior "
+        "(parity-experiment knob).",
+        stacklevel=2,
+    )
 
 # Firefly clamps applied per path vertex (reference: Scene.cpp:180-182).
 CLAMP_INDIRECT = 5.0

@@ -150,7 +150,7 @@ def make_train_step(pack, camera, target, optimizer=None, *, spp=1,
     if mesh is None:
         step = jax.jit(local_step)
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         step = jax.jit(
             shard_map(
@@ -158,7 +158,7 @@ def make_train_step(pack, camera, target, optimizer=None, *, spp=1,
                 mesh=mesh,
                 in_specs=(P(), P(), P(LANE_AXIS), P()),
                 out_specs=(P(), P(), P()),
-                check_rep=False,
+                check_vma=False,
             )
         )
 

@@ -2141,6 +2141,7 @@ def trace_mega_block(
     # only the regen kernel understands per-lane budgets. _pick_tile clamps
     # S to divide spp (spp itself is traced here, so no divisibility check).
     assert regen or n_streams == 1, "stream splitting requires regen=True"
+    assert spp % n_streams == 0, (spp, n_streams)
     spp_eff = spp // n_streams
     (tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct,
      cuv) = mega_tables(pack)
@@ -2489,6 +2490,10 @@ def render_mega(
         "rays": int(total_rays),
         "rays_per_s": total_rays / max(elapsed, 1e-9),
         "camera_samples": w * h * spp,
-        "wavelength_paths": lanes * spp,
+        # Each lane traces spp // streams samples under sample-stream
+        # splitting (the lane axis carries the S-fold expansion), so the
+        # true traced-path count is lanes * spp_per_lane, not lanes * spp.
+        "wavelength_paths": lanes
+        * (spp // (tile_static[3] if tile_static else 1)),
     }
     return img, stats

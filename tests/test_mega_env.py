@@ -188,10 +188,13 @@ def test_mega_env_structured_map_bounded_error():
     checker = np.where(((yy + xx) % 2) == 0, 0.95, 0.05).astype(np.float32)
     checker = np.repeat(checker[:, :, None], 3, axis=2)
     a, b = run(checker)
-    assert abs(a - b) / max(b, 1e-9) < 0.10, (a, b)
+    # measured 0.82% (round 4); bound at ~2x measured so a 3x error
+    # regression in the secondary-env mip path fails CI
+    assert abs(a - b) / max(b, 1e-9) < 0.02, (a, b)
 
     # point sun: single 20.0 texel at 45N, dark 0.02 sky
     sun = np.full((64, 128, 3), 0.02, np.float32)
     sun[16, 32] = 20.0
     a, b = run(sun)
-    assert abs(a - b) / max(b, 1e-9) < 0.15, (a, b)
+    # measured 2.6% (round 4); bound at ~2x measured
+    assert abs(a - b) / max(b, 1e-9) < 0.05, (a, b)
