@@ -140,6 +140,22 @@ def build_scene(
                     models_dir / "envoMaps" / env_path.name,
                     Path(str(env_path).replace("../models", str(models_dir)))]
             env_path = next((c for c in cand if c.exists()), env_path)
+        if (
+            not env_path.exists()
+            and env_path.name == "sky.png"
+            and not strict_parity
+        ):
+            # The reference ships conf.json pointing at models/envoMaps/
+            # sky.png, but that asset is absent from the public tree
+            # (.MISSING_LARGE_BLOBS). In fixed mode, substitute the repo's
+            # procedural stand-in (mcpt_tpu/sky.py) so the shipped config
+            # renders the published sky look; strict parity keeps the
+            # reference's actual behavior (error + background fallback,
+            # Scene.hpp:42-46).
+            sub = Path(__file__).resolve().parent.parent / "assets" / "sky.png"
+            if sub.exists():
+                print(f"envMap {env} missing; substituting {sub}")
+                env_path = sub
         try:
             scene.load_env_map(env_path)
         except OSError as e:

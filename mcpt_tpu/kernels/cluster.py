@@ -485,7 +485,10 @@ def cluster_occlude_fan(
             # masks saved little leaf work while costing S full
             # vector->scalar reductions per node.
             rgmask = jnp.zeros((CH_SUB, 1), jnp.float32)
-            smask = jnp.int32((1 << s_cnt) - 1)
+            # all-samples mask; (1 << 32) - 1 overflows int32 when the fan
+            # carries 32 samples (directLightSample=32 configs) — use -1
+            # (all bits set) instead.
+            smask = jnp.int32(-1 if s_cnt >= 32 else (1 << s_cnt) - 1)
             for si in range(s_cnt):
                 iv0, iv1, iv2 = dinv[si]
                 va0 = (mn0 - o0) * iv0

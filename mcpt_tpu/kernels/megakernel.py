@@ -580,6 +580,233 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds, dists):
     return [b < 0.5 for b in blocked]
 
 
+def _fan_and_nearest(
+    tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph, o_f, ds, dists, o, d,
+    textured=True,
+):
+    """Fused NEE-fan occlusion + next-ray nearest hit in ONE table sweep.
+
+    The regen kernel's two hottest blocks — the S-ray shared-origin shadow
+    fan (`_occlude_shared_origin`) and the per-lane nearest-hit intersect
+    (`_intersect_tile`) — both brute-force the same SMEM scene tables every
+    path vertex. Fusing them pays the per-primitive loop machinery once and
+    shares each SPHERE row's scalar loads between fan and intersect (the
+    triangle tables differ: the fan sweeps the statically culled occluder
+    subset `occ_ref` while the intersect sweeps the full `tri_ref`, so their
+    rows pair up positionally for the first min(n_occ, n_tris) trips and the
+    remainder runs intersect-only). Arithmetic is identical to the two
+    standalone sweeps (reference: Scene.cpp:56-82 fan + Triangle.hpp:222-252
+    nearest), so results are bitwise-equal to calling them separately.
+
+    Returns (visible list like _occlude_shared_origin, fused hit tuple like
+    _intersect_tile(occlusion=False)).
+    """
+    o0f, o1f, o2f = o_f
+    o0, o1, o2 = o
+    d0, d1, d2 = d
+    shape = o0.shape
+    s_cnt = len(ds)
+    t0 = jnp.full(shape, T_MAX, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    a = d0 * d0 + d1 * d1 + d2 * d2
+    a_ok = a > 1e-12
+    a_safe = jnp.maximum(a, 1e-12)
+    xs = [
+        dists[si] - jnp.maximum(EPSILON, REL_EPS * dists[si])
+        for si in range(s_cnt)
+    ]
+
+    def fan_tri(i, blocked):
+        # == _occlude_shared_origin.tri_body on occ_ref row i
+        w20 = occ_ref[i, 6]
+        w21 = occ_ref[i, 7]
+        w22 = occ_ref[i, 8]
+        w00 = occ_ref[i, 0]
+        w01 = occ_ref[i, 1]
+        w02 = occ_ref[i, 2]
+        w10 = occ_ref[i, 3]
+        w11 = occ_ref[i, 4]
+        w12 = occ_ref[i, 5]
+        nr2 = occ_ref[i, 12]
+        op2 = o0f * w20 + o1f * w21 + o2f * w22 - occ_ref[i, 11]
+        op0 = o0f * w00 + o1f * w01 + o2f * w02 - occ_ref[i, 9]
+        op1 = o0f * w10 + o1f * w11 + o2f * w12 - occ_ref[i, 10]
+        q = op2 * nr2
+        out = []
+        for si in range(s_cnt):
+            e0, e1, e2 = ds[si]
+            dp2 = e0 * w20 + e1 * w21 + e2 * w22
+            det = -(dp2 * nr2)
+            dets = jnp.abs(det)
+            qs = jnp.where(det < 0.0, -q, q)
+            dp0 = e0 * w00 + e1 * w01 + e2 * w02
+            u_s = op0 * dets + qs * dp0
+            dp1 = e0 * w10 + e1 * w11 + e2 * w12
+            v_s = op1 * dets + qs * dp1
+            m = jnp.minimum(
+                jnp.minimum(qs, dets - EPSILON),
+                jnp.minimum(jnp.minimum(u_s, v_s), dets - (u_s + v_s)),
+            )
+            ok = (m >= 0.0) & (xs[si] * dets - qs > 0.0)
+            out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
+        return tuple(out)
+
+    def near_tri(i, acc):
+        # == _intersect_tile.tri_body on tri_ref row i
+        (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+        w20 = tri_ref[i, 6]
+        w21 = tri_ref[i, 7]
+        w22 = tri_ref[i, 8]
+        c2 = tri_ref[i, 11]
+        nr2 = tri_ref[i, 12]
+        dp2 = d0 * w20 + d1 * w21 + d2 * w22
+        op2 = o0 * w20 + o1 * w21 + o2 * w22 - c2
+        det = -(dp2 * nr2)
+        okd = jnp.abs(det) >= EPSILON
+        det_g = jnp.where(okd, det, 1.0)
+        t_hit = op2 * nr2 / det_g
+        w00 = tri_ref[i, 0]
+        w01 = tri_ref[i, 1]
+        w02 = tri_ref[i, 2]
+        dp0 = d0 * w00 + d1 * w01 + d2 * w02
+        op0 = o0 * w00 + o1 * w01 + o2 * w02 - tri_ref[i, 9]
+        u = op0 + t_hit * dp0
+        w10 = tri_ref[i, 3]
+        w11 = tri_ref[i, 4]
+        w12 = tri_ref[i, 5]
+        dp1 = d0 * w10 + d1 * w11 + d2 * w12
+        op1 = o0 * w10 + o1 * w11 + o2 * w12 - tri_ref[i, 10]
+        v = op1 + t_hit * dp1
+        m = jnp.minimum(
+            jnp.minimum(u, v),
+            jnp.minimum(
+                jnp.minimum(1.0 - (u + v), t_hit), jnp.abs(det) - EPSILON
+            ),
+        )
+        t_cand = jnp.where(m >= 0.0, t_hit, T_MAX)
+        better = t_cand < t_best
+        if textured:
+            w0 = 1.0 - u - v
+            uvx_c = (
+                w0 * tri_ref[i, 17] + u * tri_ref[i, 19] + v * tri_ref[i, 21]
+            )
+            uvy_c = (
+                w0 * tri_ref[i, 18] + u * tri_ref[i, 20] + v * tri_ref[i, 22]
+            )
+            uvx = jnp.where(better, uvx_c, uvx)
+            uvy = jnp.where(better, uvy_c, uvy)
+        return (
+            jnp.where(better, t_cand, t_best),
+            jnp.where(better, tri_ref[i, 14], n0),
+            jnp.where(better, tri_ref[i, 15], n1),
+            jnp.where(better, tri_ref[i, 16], n2),
+            uvx,
+            uvy,
+            jnp.where(better, tri_ref[i, 23], mat),
+            jnp.where(better, tri_ref[i, 24], em),
+            jnp.where(better, 0.0, is_sph),
+            jnp.where(better, 0.0, sc0),
+            jnp.where(better, 0.0, sc1),
+            jnp.where(better, 0.0, sc2),
+        )
+
+    def both_tri(i, carry):
+        blocked, acc = carry
+        return fan_tri(i, blocked), near_tri(i, acc)
+
+    def both_sph(s, carry):
+        blocked, acc = carry
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 3]
+        r_ok = r > 0.0
+        # fan half (== _occlude_shared_origin.sph_body); origin o_f
+        l0f = o0f - cx
+        l1f = o1f - cy
+        l2f = o2f - cz
+        cqf = l0f * l0f + l1f * l1f + l2f * l2f - r * r
+        out = []
+        for si in range(s_cnt):
+            e0, e1, e2 = ds[si]
+            hb = e0 * l0f + e1 * l1f + e2 * l2f
+            disc = hb * hb - cqf
+            ok = (disc >= 0.0) & r_ok
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = jnp.where(hb > 0.0, -(hb + sq), -(hb - sq))
+            qs_ = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+            x1 = cqf / qs_
+            lo = jnp.minimum(q, x1)
+            hi = jnp.maximum(q, x1)
+            t = jnp.where(lo < 0.0, hi, lo)
+            ok &= (t >= 0.0) & (t < xs[si])
+            out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
+        # nearest half (== _intersect_tile.sph_t/sph_body); origin o
+        (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+        l0 = o0 - cx
+        l1 = o1 - cy
+        l2 = o2 - cz
+        bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
+        cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+        disc = bq * bq - 4.0 * a_safe * cq
+        ok = (disc >= 0.0) & a_ok & r_ok
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
+        qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+        x0 = q / a_safe
+        x1 = cq / qs
+        lo = jnp.minimum(x0, x1)
+        hi = jnp.maximum(x0, x1)
+        t = jnp.where(lo < 0.0, hi, lo)
+        ok &= t >= 0.0
+        t_cand = jnp.where(ok, t, T_MAX)
+        better = t_cand < t_best
+        if textured:
+            uvx = jnp.where(better, 0.0, uvx)
+            uvy = jnp.where(better, 0.0, uvy)
+        acc = (
+            jnp.where(better, t_cand, t_best),
+            jnp.where(better, 0.0, n0),
+            jnp.where(better, 0.0, n1),
+            jnp.where(better, 0.0, n2),
+            uvx,
+            uvy,
+            jnp.where(better, sph_ref[s, 4], mat),
+            jnp.where(better, sph_ref[s, 5], em),
+            jnp.where(better, 1.0, is_sph),
+            jnp.where(better, sph_ref[s, 0], sc0),
+            jnp.where(better, sph_ref[s, 1], sc1),
+            jnp.where(better, sph_ref[s, 2], sc2),
+        )
+        return tuple(out), acc
+
+    blocked0 = tuple(zero for _ in range(s_cnt))
+    init = (t0,) + (zero,) * 11
+    n_both = min(n_occ, n_tris)
+    blocked, acc = lax.fori_loop(0, n_both, both_tri, (blocked0, init))
+    if n_tris > n_both:
+        acc = lax.fori_loop(n_both, n_tris, near_tri, acc)
+    if n_occ > n_both:
+        blocked = lax.fori_loop(n_both, n_occ, fan_tri, blocked)
+    blocked, acc = lax.fori_loop(0, n_sph, both_sph, (blocked, acc))
+    (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+
+    happened = t_best < T_MAX
+    t_eff = jnp.where(happened, t_best, 0.0)
+    p = (o0 + d0 * t_eff, o1 + d1 * t_eff, o2 + d2 * t_eff)
+    nsph = _normalize((p[0] - sc0, p[1] - sc1, p[2] - sc2))
+    use_sph = is_sph > 0.5
+    n = (
+        jnp.where(use_sph, nsph[0], n0),
+        jnp.where(use_sph, nsph[1], n1),
+        jnp.where(use_sph, nsph[2], n2),
+    )
+    vis = [b < 0.5 for b in blocked]
+    return vis, (
+        t_best, happened, p, n, (uvx, uvy), mat, em > 0.5
+    )
+
+
 def _gather_mat(mat_ref, n_mats, mat_id, chan):
     """Per-lane material params by a select loop over the (small) material
     table (mat_fat layout, scene.py): returns a dict of (8,128) tiles with
@@ -827,12 +1054,18 @@ def _pdf(m, ior, wi, wo, n, is_reflect):
     return jnp.where(_is_rough(m["mtype"]), p_rough, p_smooth)
 
 
-def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
-    """All per-vertex shading shared by both kernels: material gather, GGX
-    microfacet-normal sample + Fresnel split, the S-sample NEE fan, Russian
-    roulette, the stochastic reflect/refract branch, and the indirect weight
-    (Scene.cpp:56-182 minus the next-bounce intersect, which the caller owns
-    because the two kernels schedule it differently).
+def _vertex_pre(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
+    """Occlusion-independent half of per-vertex shading: material gather, GGX
+    microfacet-normal sample + Fresnel split, NEE light-sample generation
+    (directions/distances only — no visibility), Russian roulette, the
+    stochastic reflect/refract branch, and the indirect weight
+    (Scene.cpp:56-182 minus the shadow fan and the next-bounce intersect).
+
+    Returns the _process_vertex dict extended with `samples`, `p_dl` and the
+    shading context (`m`, `ior`, `refl`, `inner`, `kr`, `wo`) so the caller
+    can schedule the fan itself (the merged-sweep regen path occludes the
+    fan and intersects the next ray in ONE table sweep) and finish with
+    `_nee_shade`.
 
     `draw(use)` returns one uniform tile per use-site id (the two kernels key
     their counters differently); `depth0` masks the eye-emitter special case.
@@ -983,39 +1216,8 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
             inv_dist = 1.0 / dist
             ws = _scale(delta, inv_dist)
             samples.append((ws, dist, inv_dist, emit_l, mesh_area, ln))
-
-        if ctx["enable_shadow"]:
-            # mask=happened: dead/miss lanes' garbage origins must not
-            # inflate the clustered fan's shaft-cull box
-            vis_sh = ctx["occlude_fan"](
-                p_dl,
-                [s_[0] for s_ in samples],
-                [s_[1] for s_ in samples],
-                happened,
-            )
-        for si in range(ctx["n_dir_sample"]):
-            ws, dist, inv_dist, emit_l, mesh_area, ln = samples[si]
-            if ctx["enable_shadow"]:
-                visible = vis_sh[si]
-            else:
-                visible = jnp.ones_like(x, dtype=bool)
-            if "nee_eval" in ablate:  # perf-debug: constant NEE BSDF
-                ev = jnp.full_like(lam, 0.1)
-            else:
-                ev = _eval_bsdf(m, ior, refl, ws, wo, n, ~inner)
-            # Scene.cpp:76-78: ... / dist² / pdf / S with the area pdf
-            # = 1/mesh_area (lights.py), i.e. ×mesh_area.
-            contrib = (
-                emit_l
-                * ev
-                * _dot(ws, n)
-                * -_dot(ws, ln)
-                * (inv_dist * inv_dist)
-                * mesh_area
-                * jnp.float32(1.0 / ctx["n_dir_sample"])
-            )
-            l_dir_raw += jnp.where(visible, contrib, 0.0)
-    l_dir = jnp.where(inner, 1.0 - kr, kr) * l_dir_raw
+    else:
+        samples = []
 
     # ---- RR + stochastic reflect/refract (Scene.cpp:121-159)
     rr_kill = xi2 >= ctx["rr_rate"]
@@ -1055,7 +1257,6 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
         env_ind = bg_l * ev * ctx["inv_rr"]
 
     return {
-        "l_dir": l_dir,
         "w": w,
         "p_new": p_new,
         "wi": wi,
@@ -1064,7 +1265,68 @@ def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
         "b_leaf": b_leaf,
         "bg_l": bg_l,
         "env_ind": env_ind,
+        # occlusion-phase inputs / shading context for _nee_shade
+        "samples": samples,
+        "p_dl": p_dl,
+        "m": m,
+        "ior": ior,
+        "refl": refl,
+        "inner": inner,
+        "kr": kr,
+        "wo": wo,
     }
+
+
+def _nee_shade(ctx, n, V, vis):
+    """Finish NEE given per-sample visibility: the BSDF-weighted direct
+    light sum of Scene.cpp:76-78 over `V["samples"]` (from `_vertex_pre`),
+    masked by `vis` (one bool tile per sample, or None ⇒ all visible)."""
+    ablate = ctx.get("ablate", frozenset())
+    lam = ctx["lam"]
+    l_dir_raw = jnp.zeros_like(lam)
+    for si in range(len(V["samples"])):
+        ws, dist, inv_dist, emit_l, mesh_area, ln = V["samples"][si]
+        if "nee_eval" in ablate:  # perf-debug: constant NEE BSDF
+            ev = jnp.full_like(lam, 0.1)
+        else:
+            ev = _eval_bsdf(
+                V["m"], V["ior"], V["refl"], ws, V["wo"], n, ~V["inner"]
+            )
+        # Scene.cpp:76-78: ... / dist² / pdf / S with the area pdf
+        # = 1/mesh_area (lights.py), i.e. ×mesh_area.
+        contrib = (
+            emit_l
+            * ev
+            * _dot(ws, n)
+            * -_dot(ws, ln)
+            * (inv_dist * inv_dist)
+            * mesh_area
+            * jnp.float32(1.0 / ctx["n_dir_sample"])
+        )
+        if vis is not None:
+            contrib = jnp.where(vis[si], contrib, 0.0)
+        l_dir_raw += contrib
+    return jnp.where(V["inner"], 1.0 - V["kr"], V["kr"]) * l_dir_raw
+
+
+def _process_vertex(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0):
+    """_vertex_pre + the kernel-owned shadow fan + _nee_shade: the original
+    all-in-one per-vertex shading used by the lockstep kernel and the
+    clustered regen path (the SMEM regen path schedules the fan itself via
+    the merged `_fan_and_nearest` sweep)."""
+    V = _vertex_pre(ctx, draw, d, p, n, uv, mat_id, happened, emissive, depth0)
+    vis = None
+    if V["samples"] and ctx["enable_shadow"]:
+        # mask=happened: dead/miss lanes' garbage origins must not
+        # inflate the clustered fan's shaft-cull box
+        vis = ctx["occlude_fan"](
+            V["p_dl"],
+            [s_[0] for s_ in V["samples"]],
+            [s_[1] for s_ in V["samples"]],
+            happened,
+        )
+    V["l_dir"] = _nee_shade(ctx, n, V, vis)
+    return V
 
 
 
@@ -1531,6 +1793,15 @@ def _mega_kernel_regen(
     spp = scal_ref[0, 2]
     lane_stride = scal_ref[0, 3]
     spp_total = scal_ref[0, 4]
+    # SMEM brute-force scenes fuse the shadow fan + next-ray intersect
+    # into ONE table sweep per vertex (_fan_and_nearest); clustered
+    # scenes keep the two-walk schedule (their sweeps are tree walks,
+    # not table scans), and isect-ablated probes need the stub intersect.
+    # MCPT_MEGA_ABLATE=unmerged restores the two-sweep schedule for A/Bs
+    # (bitwise-identical output either way).
+    merged = (
+        not clustered and "isect" not in ablate and "unmerged" not in ablate
+    )
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
@@ -1751,6 +2022,116 @@ def _mega_kernel_regen(
             do_vertex = jnp.max(is_vertex.astype(jnp.float32)) > 0.5
             zf = jnp.zeros_like(fC)
 
+            def _respawn_ray(survive, wi, p_cont):
+                """done lanes' next camera ray vs survivors' bounce ray:
+                shared by both cond branches in merged mode (each branch
+                must know its next ray BEFORE the fused table sweep)."""
+                write_now = proc & ~survive
+                done_now = active & (write_now | ended_env)
+                s_new = s_lane + done_now.astype(jnp.int32)
+                need_spawn = done_now & (s_new < spp)
+                oc, dc = cam_ray(s_new)
+                o_n = _where3(need_spawn, oc, p_cont)
+                d_n = _where3(need_spawn, dc, _where3(survive, wi, d))
+                return o_n, d_n, need_spawn
+
+            def _full_vertex_merged(_):
+                s_act = stream + s_lane * n_streams
+                draw = lambda use: _unit(
+                    _murmur(
+                        lane_u * _U(0x9E3779B1)
+                        + s_act.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                        + d_lane.astype(jnp.uint32) * _U(0x9E3779B9)
+                        + seed * _U(0x01000193)
+                        + _U((use * 0x632BE59B) & 0xFFFFFFFF)
+                    )
+                )
+                V = _vertex_pre(
+                    ctx, draw, d, p, n, uv, mat_id, happened, emissive,
+                    d_lane == 0,
+                )
+                at_vertex = proc & happened & ~V["is_b"]
+                survive_raw = at_vertex & ~V["rr_kill"]
+                capped = survive_raw & (d_lane == max_bounces - 1)
+                survive = survive_raw & ~capped
+                o_n, d_n, _ = _respawn_ray(survive, V["wi"], V["p_new"])
+                # ONE fused sweep: S-ray shadow fan + next-ray nearest hit
+                # (VERDICT r4: the two sweeps shared per-primitive loop
+                # machinery and sphere-row loads — pay them once).
+                if enable_shadow and V["samples"]:
+                    vis, hit_t = _fan_and_nearest(
+                        tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph,
+                        V["p_dl"],
+                        [s_[0] for s_ in V["samples"]],
+                        [s_[1] for s_ in V["samples"]],
+                        o_n, d_n, textured=any_textured,
+                    )
+                else:
+                    vis = None
+                    hit_t = _isect(o_n, d_n)
+                l_dir = _nee_shade(ctx, n, V, vis)
+                leaf_now = jnp.where(
+                    ~happened,
+                    V["bg_l"],
+                    jnp.where(
+                        V["is_b"],
+                        V["b_leaf"],
+                        jnp.where(
+                            capped,
+                            jnp.clip(l_dir, 0.0, CLAMP_DIRECT),
+                            l_dir,
+                        ),
+                    ),
+                )
+                a_t = jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+                new_pend_leaf = a_t + jnp.clip(
+                    V["env_ind"], 0.0, CLAMP_INDIRECT
+                )
+                return (
+                    a_t,
+                    V["w"],
+                    leaf_now,
+                    survive.astype(jnp.float32),
+                    at_vertex.astype(jnp.float32),
+                    new_pend_leaf,
+                ) + d_n + _pack_hit(hit_t)
+
+            def _cheap_vertex_merged(_):
+                emit = zf
+
+                def mgather(mi, acc):
+                    e = jnp.where(
+                        chan == 0,
+                        ctx["mat_ref"][mi, 7],
+                        jnp.where(
+                            chan == 1,
+                            ctx["mat_ref"][mi, 8],
+                            ctx["mat_ref"][mi, 9],
+                        ),
+                    )
+                    return jnp.where(
+                        mat_id == mi.astype(jnp.float32), e, acc
+                    )
+
+                emit = lax.fori_loop(0, ctx["n_mats"], mgather, emit)
+                won = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
+                b_leaf = jnp.clip(emit * jnp.abs(won), 0.0, 1.0)
+                if use_env:
+                    bg_l = zf
+                else:
+                    bg_l = jnp.where(
+                        chan == 0,
+                        bg[0],
+                        jnp.where(chan == 1, bg[1], bg[2]),
+                    )
+                leaf_now = jnp.where(~happened, bg_l, b_leaf)
+                nothing = zf > 0.5
+                o_n, d_n, _ = _respawn_ray(nothing, d, p)
+                hit_t = _isect(o_n, d_n)
+                return (zf, zf, leaf_now, zf, zf, zf) + d_n + _pack_hit(
+                    hit_t
+                )
+
             def _full_vertex(_):
                 s_act = stream + s_lane * n_streams
                 draw = lambda use: _unit(
@@ -1836,10 +2217,30 @@ def _mega_kernel_regen(
                 leaf_now = jnp.where(~happened, bg_l, b_leaf)
                 return (zf, zf, leaf_now, zf, zf, zf) + p + d
 
-            (a_t, w_t, leaf_now, survive_f, at_vertex_f, new_pend_leaf,
-             pn0, pn1, pn2, wi0, wi1, wi2) = lax.cond(
-                do_vertex, _full_vertex, _cheap_vertex, 0
-            )
+            # "nocond" (perf-probe): always run the full vertex path —
+            # identical output (the cheap branch is only a border/tail
+            # chunk fast path); measures the lax.cond join cost.
+            if merged:
+                if "nocond" in ablate:
+                    res_t = _full_vertex_merged(0)
+                else:
+                    res_t = lax.cond(
+                        do_vertex, _full_vertex_merged, _cheap_vertex_merged,
+                        0,
+                    )
+                (a_t, w_t, leaf_now, survive_f, at_vertex_f,
+                 new_pend_leaf) = res_t[:6]
+                d_next = res_t[6:9]
+                hit_next = tuple(res_t[9:])
+            else:
+                if "nocond" in ablate:
+                    res_t = _full_vertex(0)
+                else:
+                    res_t = lax.cond(
+                        do_vertex, _full_vertex, _cheap_vertex, 0
+                    )
+                (a_t, w_t, leaf_now, survive_f, at_vertex_f, new_pend_leaf,
+                 pn0, pn1, pn2, wi0, wi1, wi2) = res_t
             survive = survive_f > 0.5
             at_vertex = at_vertex_f > 0.5
             write_now = proc & ~survive
@@ -1882,16 +2283,19 @@ def _mega_kernel_regen(
             # 4. respawn for lanes whose path just ended (prefix → identity)
             s_new = s_lane + done_now.astype(jnp.int32)
             need_spawn = done_now & (s_new < spp)
-            oc, dc = cam_ray(s_new)
             fC = jnp.where(
                 need_spawn, jnp.float32(FOLD_BIG), jnp.where(survive, cC, fC)
             )
             fB = jnp.where(need_spawn, 0.0, jnp.where(survive, cB, fB))
             fW = jnp.where(need_spawn, 1.0, jnp.where(survive, cW, fW))
-            # dead (budget-exhausted) lanes fall through to p_new/pn — any
-            # finite ray is fine, their results are masked
-            o = _where3(need_spawn, oc, (pn0, pn1, pn2))
-            d = _where3(need_spawn, dc, _where3(survive, (wi0, wi1, wi2), d))
+            if not merged:
+                oc, dc = cam_ray(s_new)
+                # dead (budget-exhausted) lanes fall through to p_new/pn —
+                # any finite ray is fine, their results are masked
+                o = _where3(need_spawn, oc, (pn0, pn1, pn2))
+                d = _where3(
+                    need_spawn, dc, _where3(survive, (wi0, wi1, wi2), d)
+                )
             d_new = jnp.where(
                 done_now, 0, jnp.where(survive, d_lane + 1, d_lane)
             )
@@ -1907,8 +2311,14 @@ def _mega_kernel_regen(
                 + need_spawn.astype(jnp.float32)
             )
 
-            # 5. one shared intersect: bounce rays and fresh camera rays
-            hit = _pack_hit(_isect(o, d))
+            # 5. one shared intersect: bounce rays and fresh camera rays.
+            # Merged mode already intersected the next ray inside the cond
+            # branches (fused with the shadow fan's table sweep).
+            if merged:
+                d = d_next
+                hit = hit_next
+            else:
+                hit = _pack_hit(_isect(o, d))
             return (
                 d, hit, code, fC, fB, fW, pend_rad, rad, rays,
             ) + ((m0,) if use_env else ())
@@ -2141,7 +2551,10 @@ def trace_mega_block(
     # only the regen kernel understands per-lane budgets. _pick_tile clamps
     # S to divide spp (spp itself is traced here, so no divisibility check).
     assert regen or n_streams == 1, "stream splitting requires regen=True"
-    assert spp % n_streams == 0, (spp, n_streams)
+    # spp may be a tracer (the block fn is jitted with spp dynamic); the
+    # divisibility contract can only be checked for concrete callers.
+    if isinstance(spp, int):
+        assert spp % n_streams == 0, (spp, n_streams)
     spp_eff = spp // n_streams
     (tri, occ, sph, mat, emt, emeta, lcum, par, env, cn, ct,
      cuv) = mega_tables(pack)
