@@ -169,6 +169,83 @@ def make_train_step(pack, camera, target, optimizer=None, *, spp=1,
     return init_fn, step
 
 
+def make_train_step_hybrid(pack, camera, target_img, optimizer=None, *,
+                           spp_res=64, spp_grad=1, max_bounces=4,
+                           method="dense", param_mask=None):
+    """Megakernel-forward hybrid train step (BASELINE "fwd+bwd" north star).
+
+    The megakernel is forward-only (Pallas kernels carry no reverse-mode
+    rule), but an MSE inverse problem only needs gradients through a
+    LINEARIZED surrogate: with the residual cotangent R = 2·(I − target)/N
+    held fixed, ∇θ mean((I(θ) − target)²) = ⟨R, ∂I/∂θ⟩ — a VJP of the
+    render at cotangent R. The hybrid step therefore
+
+      1. renders I(θ) with the MEGAKERNEL at high spp (`spp_res`) — ~2
+         orders of magnitude cheaper per spp than the differentiable
+         wavefront scan (PERF.md), so the residual is low-noise AND drawn
+         from sample paths independent of the gradient pass (a
+         single-estimator step at low spp biases E[R·∂I] by the Cov(I, ∂I)
+         term — the standard decorrelation argument; the hybrid gives the
+         decorrelated residual nearly for free);
+      2. pulls R back through the wavefront detached-sampling estimator at
+         `spp_grad` via jax.vjp (pathwise gradients, visibility
+         discontinuities not differentiated — same estimator class as
+         make_train_step);
+      3. applies the optax update on the host-side params.
+
+    Returns (init_fn, step_fn); step_fn(params, opt_state, key, seed) ->
+    (params, opt_state, loss) with loss = the megakernel-rendered MSE.
+    `target_img`: (H, W, 3) linear radiance. The megakernel render runs
+    eagerly (its Pallas dispatch is jitted with the pack tables traced, so
+    per-step parameter updates reuse the compiled kernel); the VJP+update
+    runs as one jitted function.
+    """
+    import numpy as np
+
+    from mcpt_tpu.kernels.megakernel import render_mega
+
+    optimizer = optimizer or optax.adam(1e-2)
+    target_img = jnp.asarray(target_img, jnp.float32)
+    h, w = target_img.shape[:2]
+    n_pix = h * w
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @jax.jit
+    def grad_and_update(params, opt_state, resid, key):
+        def render_flat(p):
+            return render_lanes(
+                apply_params(pack, p), camera, pixel_ids, key,
+                spp=spp_grad, max_bounces=max_bounces, method=method,
+            )
+
+        _, vjp = jax.vjp(render_flat, params)
+        (grads,) = vjp(resid)
+        if param_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, param_mask
+            )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    def step(params, opt_state, key, seed):
+        img, _ = render_mega(
+            apply_params(pack, params), camera, spp_res, seed=seed,
+            max_bounces=max_bounces,
+        )
+        diff = jnp.asarray(img) - target_img
+        loss = float(np.mean(np.asarray(diff) ** 2))
+        resid = (2.0 / n_pix) * diff.reshape(n_pix, 3)
+        params, opt_state = grad_and_update(params, opt_state, resid, key)
+        return params, opt_state, loss
+
+    def init_fn():
+        params = params_from_pack(pack)
+        return params, optimizer.init(params)
+
+    return init_fn, step
+
+
 # ---------------------------------------------------------------------------
 # Train-state persistence (orbax)
 # ---------------------------------------------------------------------------

@@ -128,3 +128,45 @@ def test_inverse_rendering_recovers_brightness(setup):
             params, opt_state, ids, jax.random.fold_in(key, k)
         )
     assert abs(float(params.light_scale) - 1.6) < 0.25, float(params.light_scale)
+
+
+def test_hybrid_train_step_megakernel_forward(setup):
+    """make_train_step_hybrid: megakernel-rendered residual + wavefront VJP
+    must move light_scale toward the target and reduce the (megakernel) MSE
+    (BASELINE "fwd+bwd" north star — see benchmarks/train_step.py --hybrid
+    for the measured speedup on hardware)."""
+    import optax
+
+    from mcpt_tpu.diff import make_train_step_hybrid
+    from mcpt_tpu.kernels.megakernel import mega_supported, render_mega
+
+    pack, cam = setup
+    assert mega_supported(pack)
+    p_true = params_from_pack(pack)._replace(light_scale=jnp.float32(1.6))
+    target_img, _ = render_mega(
+        apply_params(pack, p_true), cam, 8, seed=3, max_bounces=3,
+        interpret=True,
+    )
+    mask = SceneParams(
+        rough=jnp.zeros_like(p_true.rough),
+        ior_a=jnp.zeros_like(p_true.ior_a),
+        ior_b=jnp.zeros_like(p_true.ior_b),
+        refl=jnp.zeros_like(p_true.refl),
+        light_scale=jnp.float32(1.0),
+    )
+    init_fn, step = make_train_step_hybrid(
+        pack, cam, np.asarray(target_img), optax.adam(1e-1), spp_res=4,
+        spp_grad=2, max_bounces=3, param_mask=mask,
+    )
+    params, opt_state = init_fn()
+    losses = []
+    key = jax.random.key(5)
+    for k in range(10):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(key, k), seed=k
+        )
+        losses.append(loss)
+    assert all(np.isfinite(l) for l in losses), losses
+    # the step must climb toward the brighter target and improve the fit
+    assert float(params.light_scale) > 1.15, float(params.light_scale)
+    assert min(losses[-3:]) < losses[0], losses
