@@ -2593,7 +2593,16 @@ def trace_mega_block(
         ablate=frozenset(
             s for s in os.environ.get("MCPT_MEGA_ABLATE", "").split(",") if s
         ),
-        unroll=int(os.environ.get("MCPT_MEGA_UNROLL", "2")),
+        # SMEM scenes profit from deep unrolling once the fused sweep slims
+        # the loop body (r5 sweep at 1080p spp512: u2 7.05e8, u4 ~7.1e8,
+        # u8 7.71e8 rays/s); clustered walks keep u2 — their body is ~all
+        # of the cluster walk, so unrolling multiplies SMEM program size
+        # for machinery that is already <1% of the iteration.
+        unroll=int(
+            os.environ.get(
+                "MCPT_MEGA_UNROLL", "2" if clustered else "8"
+            )
+        ),
         cam=_cam_static(camera, tile),
     )
     from mcpt_tpu.kernels.cluster import N_RES as _N_RES
