@@ -22,10 +22,10 @@ per ~1M-lane block, so the timed section is 6 dispatches regardless of spp.
 A full warmup render (different seed) is excluded from the timing; the
 compile happens once (all blocks share one shape).
 
-Env knobs: BENCH_SPP (default 1024 — the reference's own configs run up to
-spp=2048, and higher spp keeps lanes at full occupancy longer: the r5
-sweep measured +10% from 256 -> 512 and +1% 512 -> 1024), BENCH_MB (max
-bounces, default 8).
+Env knobs: BENCH_SPP (default 2048 — the reference's own headline configs
+are spp=2048, and higher spp keeps lanes at full occupancy longer: the r5
+sweep measured +10% from 256 -> 512, +1-5% 512 -> 1024, +6% 1024 -> 2048
+with the 4-way interleave), BENCH_MB (max bounces, default 8).
 Fallback: MCPT_BENCH_WAVEFRONT=1 times the tile-based wavefront path instead.
 """
 
@@ -59,7 +59,7 @@ def main():
 
     from mcpt_tpu.builtin_scenes import demo_scene
 
-    spp = int(os.environ.get("BENCH_SPP", "1024"))
+    spp = int(os.environ.get("BENCH_SPP", "2048"))
     max_bounces = int(os.environ.get("BENCH_MB", "8"))
     width, height = 1920, 1080
 

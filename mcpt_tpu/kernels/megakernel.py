@@ -581,10 +581,11 @@ def _occlude_shared_origin(tri_ref, sph_ref, n_tris, n_sph, o, ds, dists):
 
 
 def _fan_and_nearest(
-    tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph, o_f, ds, dists, o, d,
+    tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph, fans, nexts,
     textured=True,
 ):
-    """Fused NEE-fan occlusion + next-ray nearest hit in ONE table sweep.
+    """Fused NEE-fan occlusion + next-ray nearest hit in ONE table sweep,
+    for one or more independent path slots.
 
     The regen kernel's two hottest blocks — the S-ray shared-origin shadow
     fan (`_occlude_shared_origin`) and the per-lane nearest-hit intersect
@@ -594,30 +595,41 @@ def _fan_and_nearest(
     triangle tables differ: the fan sweeps the statically culled occluder
     subset `occ_ref` while the intersect sweeps the full `tri_ref`, so their
     rows pair up positionally for the first min(n_occ, n_tris) trips and the
-    remainder runs intersect-only). Arithmetic is identical to the two
-    standalone sweeps (reference: Scene.cpp:56-82 fan + Triangle.hpp:222-252
-    nearest), so results are bitwise-equal to calling them separately.
+    remainder runs intersect-only). With the 2-slot sample interleave
+    (trace_mega_block nsplit) BOTH slots' fans and next rays ride the same
+    sweep — the per-row scalar loads amortize over 10 rays instead of 5.
+    Arithmetic is identical to the standalone sweeps (reference:
+    Scene.cpp:56-82 fan + Triangle.hpp:222-252 nearest), so per-sample
+    results are bitwise-equal to running them separately.
 
-    Returns (visible list like _occlude_shared_origin, fused hit tuple like
-    _intersect_tile(occlusion=False)).
+    fans: list over slots of (o_f, ds, dists) — ds/dists lists of per-sample
+    direction/distance tiles (ds may be empty: no fan for that slot).
+    nexts: list over slots of (o, d).
+    Returns (vis_per_slot, hit_per_slot): vis like _occlude_shared_origin,
+    hit like _intersect_tile(occlusion=False).
     """
-    o0f, o1f, o2f = o_f
-    o0, o1, o2 = o
-    d0, d1, d2 = d
-    shape = o0.shape
-    s_cnt = len(ds)
+    n_slots = len(nexts)
+    shape = nexts[0][1][0].shape
     t0 = jnp.full(shape, T_MAX, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
-    a = d0 * d0 + d1 * d1 + d2 * d2
-    a_ok = a > 1e-12
-    a_safe = jnp.maximum(a, 1e-12)
-    xs = [
-        dists[si] - jnp.maximum(EPSILON, REL_EPS * dists[si])
-        for si in range(s_cnt)
+    aa = []
+    for o, d in nexts:
+        d0, d1, d2 = d
+        a = d0 * d0 + d1 * d1 + d2 * d2
+        aa.append((a > 1e-12, jnp.maximum(a, 1e-12)))
+    xs_all = [
+        [
+            dists[si] - jnp.maximum(EPSILON, REL_EPS * dists[si])
+            for si in range(len(dists))
+        ]
+        for (_, _, dists) in fans
     ]
 
-    def fan_tri(i, blocked):
-        # == _occlude_shared_origin.tri_body on occ_ref row i
+    def fan_tri(i, k, blocked):
+        # == _occlude_shared_origin.tri_body on occ_ref row i, slot k
+        o0f, o1f, o2f = fans[k][0]
+        ds = fans[k][1]
+        xs = xs_all[k]
         w20 = occ_ref[i, 6]
         w21 = occ_ref[i, 7]
         w22 = occ_ref[i, 8]
@@ -633,7 +645,7 @@ def _fan_and_nearest(
         op1 = o0f * w10 + o1f * w11 + o2f * w12 - occ_ref[i, 10]
         q = op2 * nr2
         out = []
-        for si in range(s_cnt):
+        for si in range(len(ds)):
             e0, e1, e2 = ds[si]
             dp2 = e0 * w20 + e1 * w21 + e2 * w22
             det = -(dp2 * nr2)
@@ -651,8 +663,10 @@ def _fan_and_nearest(
             out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
         return tuple(out)
 
-    def near_tri(i, acc):
-        # == _intersect_tile.tri_body on tri_ref row i
+    def near_tri(i, k, acc):
+        # == _intersect_tile.tri_body on tri_ref row i, slot k
+        o0, o1, o2 = nexts[k][0]
+        d0, d1, d2 = nexts[k][1]
         (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
         w20 = tri_ref[i, 6]
         w21 = tri_ref[i, 7]
@@ -711,100 +725,132 @@ def _fan_and_nearest(
         )
 
     def both_tri(i, carry):
-        blocked, acc = carry
-        return fan_tri(i, blocked), near_tri(i, acc)
+        blocked, accs = carry
+        return (
+            tuple(fan_tri(i, k, blocked[k]) for k in range(n_slots)),
+            tuple(near_tri(i, k, accs[k]) for k in range(n_slots)),
+        )
+
+    def near_only(i, accs):
+        return tuple(near_tri(i, k, accs[k]) for k in range(n_slots))
+
+    def fan_only(i, blocked):
+        return tuple(fan_tri(i, k, blocked[k]) for k in range(n_slots))
 
     def both_sph(s, carry):
-        blocked, acc = carry
+        blocked, accs = carry
         cx = sph_ref[s, 0]
         cy = sph_ref[s, 1]
         cz = sph_ref[s, 2]
         r = sph_ref[s, 3]
         r_ok = r > 0.0
-        # fan half (== _occlude_shared_origin.sph_body); origin o_f
-        l0f = o0f - cx
-        l1f = o1f - cy
-        l2f = o2f - cz
-        cqf = l0f * l0f + l1f * l1f + l2f * l2f - r * r
-        out = []
-        for si in range(s_cnt):
-            e0, e1, e2 = ds[si]
-            hb = e0 * l0f + e1 * l1f + e2 * l2f
-            disc = hb * hb - cqf
-            ok = (disc >= 0.0) & r_ok
+        new_blocked = []
+        new_accs = []
+        for k in range(n_slots):
+            # fan half (== _occlude_shared_origin.sph_body); origin o_f
+            o0f, o1f, o2f = fans[k][0]
+            ds = fans[k][1]
+            xs = xs_all[k]
+            l0f = o0f - cx
+            l1f = o1f - cy
+            l2f = o2f - cz
+            cqf = l0f * l0f + l1f * l1f + l2f * l2f - r * r
+            out = []
+            for si in range(len(ds)):
+                e0, e1, e2 = ds[si]
+                hb = e0 * l0f + e1 * l1f + e2 * l2f
+                disc = hb * hb - cqf
+                ok = (disc >= 0.0) & r_ok
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                q = jnp.where(hb > 0.0, -(hb + sq), -(hb - sq))
+                qs_ = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+                x1 = cqf / qs_
+                lo = jnp.minimum(q, x1)
+                hi = jnp.maximum(q, x1)
+                t = jnp.where(lo < 0.0, hi, lo)
+                ok &= (t >= 0.0) & (t < xs[si])
+                out.append(
+                    jnp.maximum(blocked[k][si], ok.astype(jnp.float32))
+                )
+            new_blocked.append(tuple(out))
+            # nearest half (== _intersect_tile.sph_t/sph_body); origin o
+            o0, o1, o2 = nexts[k][0]
+            d0, d1, d2 = nexts[k][1]
+            a_ok, a_safe = aa[k]
+            (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1,
+             sc2) = accs[k]
+            l0 = o0 - cx
+            l1 = o1 - cy
+            l2 = o2 - cz
+            bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
+            cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+            disc = bq * bq - 4.0 * a_safe * cq
+            ok = (disc >= 0.0) & a_ok & r_ok
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            q = jnp.where(hb > 0.0, -(hb + sq), -(hb - sq))
-            qs_ = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
-            x1 = cqf / qs_
-            lo = jnp.minimum(q, x1)
-            hi = jnp.maximum(q, x1)
+            q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
+            qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+            x0 = q / a_safe
+            x1 = cq / qs
+            lo = jnp.minimum(x0, x1)
+            hi = jnp.maximum(x0, x1)
             t = jnp.where(lo < 0.0, hi, lo)
-            ok &= (t >= 0.0) & (t < xs[si])
-            out.append(jnp.maximum(blocked[si], ok.astype(jnp.float32)))
-        # nearest half (== _intersect_tile.sph_t/sph_body); origin o
-        (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
-        l0 = o0 - cx
-        l1 = o1 - cy
-        l2 = o2 - cz
-        bq = 2.0 * (d0 * l0 + d1 * l1 + d2 * l2)
-        cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
-        disc = bq * bq - 4.0 * a_safe * cq
-        ok = (disc >= 0.0) & a_ok & r_ok
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        q = jnp.where(bq > 0.0, -0.5 * (bq + sq), -0.5 * (bq - sq))
-        qs = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
-        x0 = q / a_safe
-        x1 = cq / qs
-        lo = jnp.minimum(x0, x1)
-        hi = jnp.maximum(x0, x1)
-        t = jnp.where(lo < 0.0, hi, lo)
-        ok &= t >= 0.0
-        t_cand = jnp.where(ok, t, T_MAX)
-        better = t_cand < t_best
-        if textured:
-            uvx = jnp.where(better, 0.0, uvx)
-            uvy = jnp.where(better, 0.0, uvy)
-        acc = (
-            jnp.where(better, t_cand, t_best),
-            jnp.where(better, 0.0, n0),
-            jnp.where(better, 0.0, n1),
-            jnp.where(better, 0.0, n2),
-            uvx,
-            uvy,
-            jnp.where(better, sph_ref[s, 4], mat),
-            jnp.where(better, sph_ref[s, 5], em),
-            jnp.where(better, 1.0, is_sph),
-            jnp.where(better, sph_ref[s, 0], sc0),
-            jnp.where(better, sph_ref[s, 1], sc1),
-            jnp.where(better, sph_ref[s, 2], sc2),
-        )
-        return tuple(out), acc
+            ok &= t >= 0.0
+            t_cand = jnp.where(ok, t, T_MAX)
+            better = t_cand < t_best
+            if textured:
+                uvx = jnp.where(better, 0.0, uvx)
+                uvy = jnp.where(better, 0.0, uvy)
+            new_accs.append((
+                jnp.where(better, t_cand, t_best),
+                jnp.where(better, 0.0, n0),
+                jnp.where(better, 0.0, n1),
+                jnp.where(better, 0.0, n2),
+                uvx,
+                uvy,
+                jnp.where(better, sph_ref[s, 4], mat),
+                jnp.where(better, sph_ref[s, 5], em),
+                jnp.where(better, 1.0, is_sph),
+                jnp.where(better, sph_ref[s, 0], sc0),
+                jnp.where(better, sph_ref[s, 1], sc1),
+                jnp.where(better, sph_ref[s, 2], sc2),
+            ))
+        return tuple(new_blocked), tuple(new_accs)
 
-    blocked0 = tuple(zero for _ in range(s_cnt))
-    init = (t0,) + (zero,) * 11
+    blocked = tuple(
+        tuple(zero for _ in range(len(fans[k][1]))) for k in range(n_slots)
+    )
+    accs = tuple(((t0,) + (zero,) * 11) for _ in range(n_slots))
     n_both = min(n_occ, n_tris)
-    blocked, acc = lax.fori_loop(0, n_both, both_tri, (blocked0, init))
+    blocked, accs = lax.fori_loop(0, n_both, both_tri, (blocked, accs))
     if n_tris > n_both:
-        acc = lax.fori_loop(n_both, n_tris, near_tri, acc)
+        accs = lax.fori_loop(n_both, n_tris, near_only, accs)
     if n_occ > n_both:
-        blocked = lax.fori_loop(n_both, n_occ, fan_tri, blocked)
-    blocked, acc = lax.fori_loop(0, n_sph, both_sph, (blocked, acc))
-    (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1, sc2) = acc
+        blocked = lax.fori_loop(n_both, n_occ, fan_only, blocked)
+    blocked, accs = lax.fori_loop(0, n_sph, both_sph, (blocked, accs))
 
-    happened = t_best < T_MAX
-    t_eff = jnp.where(happened, t_best, 0.0)
-    p = (o0 + d0 * t_eff, o1 + d1 * t_eff, o2 + d2 * t_eff)
-    nsph = _normalize((p[0] - sc0, p[1] - sc1, p[2] - sc2))
-    use_sph = is_sph > 0.5
-    n = (
-        jnp.where(use_sph, nsph[0], n0),
-        jnp.where(use_sph, nsph[1], n1),
-        jnp.where(use_sph, nsph[2], n2),
-    )
-    vis = [b < 0.5 for b in blocked]
-    return vis, (
-        t_best, happened, p, n, (uvx, uvy), mat, em > 0.5
-    )
+    vis_out = []
+    hit_out = []
+    for k in range(n_slots):
+        (t_best, n0, n1, n2, uvx, uvy, mat, em, is_sph, sc0, sc1,
+         sc2) = accs[k]
+        o0, o1, o2 = nexts[k][0]
+        d0, d1, d2 = nexts[k][1]
+        happened = t_best < T_MAX
+        t_eff = jnp.where(happened, t_best, 0.0)
+        p = (o0 + d0 * t_eff, o1 + d1 * t_eff, o2 + d2 * t_eff)
+        nsph = _normalize((p[0] - sc0, p[1] - sc1, p[2] - sc2))
+        use_sph = is_sph > 0.5
+        n = (
+            jnp.where(use_sph, nsph[0], n0),
+            jnp.where(use_sph, nsph[1], n1),
+            jnp.where(use_sph, nsph[2], n2),
+        )
+        vis_out.append([b < 0.5 for b in blocked[k]])
+        hit_out.append(
+            (t_best, happened, p, n, (uvx, uvy), mat, em > 0.5)
+        )
+    return vis_out, hit_out
+
 
 
 def _gather_mat(mat_ref, n_mats, mat_id, chan):
@@ -1470,6 +1516,7 @@ def _mega_kernel(
     use_env,
     ablate,
     unroll,  # regen-only; ignored here
+    nsplit,  # regen-only; ignored here
     cam,  # dict of static camera floats
 ):
     assert not use_env, "env scenes require the regen kernel"
@@ -1750,6 +1797,7 @@ def _mega_kernel_regen(
     use_env,
     ablate,
     unroll,
+    nsplit,
     cam,
 ):
     """Path-regeneration variant: each lane runs its own sample stream.
@@ -1802,6 +1850,9 @@ def _mega_kernel_regen(
     merged = (
         not clustered and "isect" not in ablate and "unmerged" not in ablate
     )
+    # in-lane sample interleave slots: merged path only
+    if not merged:
+        nsplit = 1
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (CH_ROWS, LANE), 1)
@@ -1875,12 +1926,13 @@ def _mega_kernel_regen(
         )
         ctx["occlude_fan"] = _ofan
 
-        def cam_ray(s_vec):
+        def cam_ray(s_vec, slot=0):
             """Camera ray of per-lane BUDGET index s_vec (Renderer.cpp:44-76);
-            the ACTUAL sample id is stream + s_vec*S, so draws key on
-            (pixel, actual sample) only — identical streams regardless of
-            how samples are split across lanes."""
-            s_act = stream + s_vec * n_streams
+            the ACTUAL sample id is stream + (slot + s_vec*nsplit)*S, so
+            draws key on (pixel, actual sample) only — identical streams
+            regardless of how samples are split across lanes (lane-level
+            streams S) or within a lane (interleave slots nsplit)."""
+            s_act = stream + (slot + s_vec * nsplit) * n_streams
             mix = (
                 s_act.astype(jnp.uint32) * _U(0x0ED5AD4D)
                 + seed * _U(0x01000193)
@@ -1958,19 +2010,46 @@ def _mega_kernel_regen(
         izero = jnp.zeros((CH_ROWS, LANE), jnp.int32)
         fzero = jnp.zeros((CH_ROWS, LANE), jnp.float32)
         fone = jnp.ones((CH_ROWS, LANE), jnp.float32)
-        o0, d0 = cam_ray(izero)
-        hit0 = _pack_hit(_isect(o0, d0))
-        state0 = (
-            d0,
-            hit0,
-            izero,  # code: s_lane*64 + d_lane*2 + has_pend
-            fone * jnp.float32(FOLD_BIG),  # fold C
-            fzero,  # fold B
-            fone,  # fold W
-            fzero,  # pend_rad (prefix-folded env-terminal radiance)
-            fzero,  # rad
-            fone,  # rays (sample-0 primary)
-        ) + ((fzero,) if use_env else ())  # primary-miss count (deferred)
+        n_hit = 9 if any_textured else 7
+        per_slot = 8 + n_hit  # d(3) + hit + code + fC/fB/fW + pend
+        if merged and nsplit > 1:
+            # Interleave slots: slot k owns samples k + v*nsplit, budget
+            # ceil((spp - k)/nsplit) (no divisibility requirement — a slot
+            # with zero budget just idles). State = nsplit slot blocks +
+            # shared (rad, rays[, m0]).
+            spp_k = [
+                (spp + jnp.int32(nsplit - 1 - k)) // jnp.int32(nsplit)
+                for k in range(nsplit)
+            ]
+            sl0 = []
+            rays0 = fzero
+            for k in range(nsplit):
+                ok_, dk_ = cam_ray(izero, k)
+                hitk = _pack_hit(_isect(ok_, dk_))
+                sl0 += [
+                    *dk_, *hitk, izero, fone * jnp.float32(FOLD_BIG),
+                    fzero, fone, fzero,
+                ]
+                # each slot with a nonzero budget spawns its sample 0
+                rays0 = rays0 + (izero < spp_k[k]).astype(jnp.float32)
+            state0 = tuple(sl0) + (fzero, rays0) + (
+                (fzero,) if use_env else ()
+            )
+        else:
+            spp_k = [spp]
+            o0, d0 = cam_ray(izero)
+            hit0 = _pack_hit(_isect(o0, d0))
+            state0 = (
+                d0,
+                hit0,
+                izero,  # code: s_lane*64 + d_lane*2 + has_pend
+                fone * jnp.float32(FOLD_BIG),  # fold C
+                fzero,  # fold B
+                fone,  # fold W
+                fzero,  # pend_rad (prefix-folded env-terminal radiance)
+                fzero,  # rad
+                fone,  # rays (sample-0 primary)
+            ) + ((fzero,) if use_env else ())  # primary-miss (deferred)
 
         def iter_body(it, state):
             # `unroll` path-segments per loop trip: amortizes the loop/cond
@@ -1986,13 +2065,19 @@ def _mega_kernel_regen(
                 return s
 
             # code = s_lane*64 + ... so min(code) < spp*64 ⟺ min(s_lane) < spp
-            return lax.cond(
-                jnp.min(state[2]) < spp * 64, _live_n, lambda a: a[1],
-                (it, state),
-            )
+            if merged and nsplit > 1:
+                live = jnp.bool_(False)
+                for k in range(nsplit):
+                    code_k = state[k * per_slot + 3 + n_hit]
+                    live = live | (jnp.min(code_k) < spp_k[k] * 64)
+            else:
+                live = jnp.min(state[2]) < spp * 64
+            return lax.cond(live, _live_n, lambda a: a[1], (it, state))
 
         def _iter_live(args):
             _, state = args
+            if merged and nsplit > 1:
+                return _iter_live_m(state)
             (d, hit, code, fC, fB, fW, pend_rad, rad, rays, *m0_t) = state
             m0 = m0_t[0] if use_env else None
             s_lane = code >> 6
@@ -2059,13 +2144,17 @@ def _mega_kernel_regen(
                 # (VERDICT r4: the two sweeps shared per-primitive loop
                 # machinery and sphere-row loads — pay them once).
                 if enable_shadow and V["samples"]:
-                    vis, hit_t = _fan_and_nearest(
+                    vis_l, hit_l = _fan_and_nearest(
                         tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph,
-                        V["p_dl"],
-                        [s_[0] for s_ in V["samples"]],
-                        [s_[1] for s_ in V["samples"]],
-                        o_n, d_n, textured=any_textured,
+                        [(
+                            V["p_dl"],
+                            [s_[0] for s_ in V["samples"]],
+                            [s_[1] for s_ in V["samples"]],
+                        )],
+                        [(o_n, d_n)],
+                        textured=any_textured,
                     )
+                    vis, hit_t = vis_l[0], hit_l[0]
                 else:
                     vis = None
                     hit_t = _isect(o_n, d_n)
@@ -2323,17 +2412,272 @@ def _mega_kernel_regen(
                 d, hit, code, fC, fB, fW, pend_rad, rad, rays,
             ) + ((m0,) if use_env else ())
 
+        def _iter_live_m(state):
+            """nsplit-slot interleaved iteration (merged SMEM path): unpack
+            every slot, ONE cheap/full cond over the union, ONE fused table
+            sweep serving every slot's shadow fan + next ray, then per-slot
+            fold/respawn updates into shared rad/rays accumulators. Per-
+            sample arithmetic is identical to the single-slot kernel (same
+            draw keys on the actual sample id); only the per-lane f32
+            accumulation order differs."""
+            slots = [
+                state[k * per_slot : (k + 1) * per_slot]
+                for k in range(nsplit)
+            ]
+            tail = state[nsplit * per_slot :]
+            rad, rays = tail[0], tail[1]
+            m0 = tail[2] if use_env else None
+            zf = fzero
+            U = []
+            any_vertex = None
+            for k in range(nsplit):
+                st = slots[k]
+                code = st[3 + n_hit]
+                s_lane = code >> 6
+                d_lane = (code >> 1) & 31
+                active = s_lane < spp_k[k]
+                happened_f, p, n_s, uv, mat_id, em_f = _unpack_hit(
+                    st[3 : 3 + n_hit]
+                )
+                happened = happened_f > 0.5
+                emissive = em_f > 0.5
+                has_pend = ((code & 1) > 0) & active
+                ended_env = has_pend & (~happened | emissive)
+                proc = active & ~ended_env
+                is_vertex = proc & happened & ~emissive
+                U.append({
+                    "d": st[0:3], "fC": st[4 + n_hit], "fB": st[5 + n_hit],
+                    "fW": st[6 + n_hit], "pend": st[7 + n_hit],
+                    "s_lane": s_lane, "d_lane": d_lane, "active": active,
+                    "p": p, "n": n_s, "uv": uv, "mat_id": mat_id,
+                    "happened": happened, "emissive": emissive,
+                    "ended_env": ended_env, "proc": proc,
+                })
+                iv = is_vertex.astype(jnp.float32)
+                any_vertex = (
+                    iv if any_vertex is None else jnp.maximum(any_vertex, iv)
+                )
+            do_vertex = jnp.max(any_vertex) > 0.5
+
+            def _respawn_m(k, u, survive, wi, p_cont):
+                write_now = u["proc"] & ~survive
+                done_now = u["active"] & (write_now | u["ended_env"])
+                s_new = u["s_lane"] + done_now.astype(jnp.int32)
+                need_spawn = done_now & (s_new < spp_k[k])
+                oc, dc = cam_ray(s_new, k)
+                o_n = _where3(need_spawn, oc, p_cont)
+                d_n = _where3(need_spawn, dc, _where3(survive, wi, u["d"]))
+                return o_n, d_n
+
+            def _full_m(_):
+                fans = []
+                nxts = []
+                mids = []
+                for k in range(nsplit):
+                    u = U[k]
+                    s_act = stream + (k + u["s_lane"] * nsplit) * n_streams
+                    draw = (lambda sa, dl: lambda use: _unit(
+                        _murmur(
+                            lane_u * _U(0x9E3779B1)
+                            + sa.astype(jnp.uint32) * _U(0x0ED5AD4D)
+                            + dl.astype(jnp.uint32) * _U(0x9E3779B9)
+                            + seed * _U(0x01000193)
+                            + _U((use * 0x632BE59B) & 0xFFFFFFFF)
+                        )
+                    ))(s_act, u["d_lane"])
+                    V = _vertex_pre(
+                        ctx, draw, u["d"], u["p"], u["n"], u["uv"],
+                        u["mat_id"], u["happened"], u["emissive"],
+                        u["d_lane"] == 0,
+                    )
+                    at_vertex = u["proc"] & u["happened"] & ~V["is_b"]
+                    survive_raw = at_vertex & ~V["rr_kill"]
+                    capped = survive_raw & (u["d_lane"] == max_bounces - 1)
+                    survive = survive_raw & ~capped
+                    o_n, d_n = _respawn_m(
+                        k, u, survive, V["wi"], V["p_new"]
+                    )
+                    fans.append((
+                        V["p_dl"],
+                        [s_[0] for s_ in V["samples"]],
+                        [s_[1] for s_ in V["samples"]],
+                    ))
+                    nxts.append((o_n, d_n))
+                    mids.append((V, at_vertex, survive, capped))
+                if enable_shadow and n_dir_sample > 0 and n_emitters > 0:
+                    vis_l, hit_l = _fan_and_nearest(
+                        tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph,
+                        fans, nxts, textured=any_textured,
+                    )
+                else:
+                    vis_l = [None] * nsplit
+                    hit_l = [
+                        _isect(nxts[k][0], nxts[k][1])
+                        for k in range(nsplit)
+                    ]
+                out = ()
+                for k in range(nsplit):
+                    u = U[k]
+                    V, at_vertex, survive, capped = mids[k]
+                    l_dir = _nee_shade(ctx, u["n"], V, vis_l[k])
+                    leaf_now = jnp.where(
+                        ~u["happened"],
+                        V["bg_l"],
+                        jnp.where(
+                            V["is_b"],
+                            V["b_leaf"],
+                            jnp.where(
+                                capped,
+                                jnp.clip(l_dir, 0.0, CLAMP_DIRECT),
+                                l_dir,
+                            ),
+                        ),
+                    )
+                    a_t = jnp.clip(l_dir, 0.0, CLAMP_DIRECT)
+                    new_pend = a_t + jnp.clip(
+                        V["env_ind"], 0.0, CLAMP_INDIRECT
+                    )
+                    out = out + (
+                        a_t, V["w"], leaf_now,
+                        survive.astype(jnp.float32),
+                        at_vertex.astype(jnp.float32), new_pend,
+                    ) + nxts[k][1] + _pack_hit(hit_l[k])
+                return out
+
+            def _cheap_m(_):
+                def mgather(mi, accs):
+                    e = jnp.where(
+                        chan == 0,
+                        ctx["mat_ref"][mi, 7],
+                        jnp.where(
+                            chan == 1,
+                            ctx["mat_ref"][mi, 8],
+                            ctx["mat_ref"][mi, 9],
+                        ),
+                    )
+                    return tuple(
+                        jnp.where(
+                            U[k]["mat_id"] == mi.astype(jnp.float32), e,
+                            accs[k],
+                        )
+                        for k in range(nsplit)
+                    )
+
+                emits = lax.fori_loop(
+                    0, ctx["n_mats"], mgather, (zf,) * nsplit
+                )
+                if use_env:
+                    bg_l = zf
+                else:
+                    bg_l = jnp.where(
+                        chan == 0, bg[0],
+                        jnp.where(chan == 1, bg[1], bg[2]),
+                    )
+                out = ()
+                nothing = zf > 0.5
+                for k in range(nsplit):
+                    u = U[k]
+                    d_k = u["d"]
+                    n_s = u["n"]
+                    won = -(
+                        d_k[0] * n_s[0] + d_k[1] * n_s[1] + d_k[2] * n_s[2]
+                    )
+                    b_leaf = jnp.clip(emits[k] * jnp.abs(won), 0.0, 1.0)
+                    leaf_now = jnp.where(~u["happened"], bg_l, b_leaf)
+                    o_n, d_n = _respawn_m(k, u, nothing, d_k, u["p"])
+                    hit_t = _isect(o_n, d_n)
+                    out = out + (zf, zf, leaf_now, zf, zf, zf) + d_n + (
+                        _pack_hit(hit_t)
+                    )
+                return out
+
+            if "nocond" in ablate:
+                res = _full_m(0)
+            else:
+                res = lax.cond(do_vertex, _full_m, _cheap_m, 0)
+            stride = 9 + n_hit
+            new_state = ()
+            for k in range(nsplit):
+                u = U[k]
+                rk = res[k * stride : (k + 1) * stride]
+                (a_t, w_t, leaf_now, survive_f, at_vertex_f,
+                 new_pend) = rk[:6]
+                d_n = tuple(rk[6:9])
+                hit_n = tuple(rk[9:])
+                survive = survive_f > 0.5
+                at_vertex = at_vertex_f > 0.5
+                write_now = u["proc"] & ~survive
+                f_id = u["d_lane"] == 0
+                fC, fB, fW, pend = u["fC"], u["fB"], u["fW"], u["pend"]
+                ev_now = jnp.minimum(
+                    fC, fB + fW * jnp.maximum(leaf_now, 0.0)
+                )
+                contrib = jnp.where(f_id, leaf_now, ev_now)
+                done_now = u["active"] & (write_now | u["ended_env"])
+                rad = rad + jnp.where(
+                    done_now,
+                    jnp.where(u["ended_env"], pend, contrib),
+                    0.0,
+                )
+                ev_pend = jnp.minimum(fC, fB + fW * new_pend)
+                pend = jnp.where(
+                    survive, jnp.where(f_id, new_pend, ev_pend), pend
+                )
+                cC = jnp.minimum(fC, fB + fW * (a_t + CLAMP_INDIRECT))
+                cB = fB + fW * a_t
+                cW = jnp.minimum(fW * w_t, jnp.float32(FOLD_W_CAP))
+                if use_env:
+                    pm = u["proc"] & ~u["happened"] & f_id
+                    m0 = m0 + pm.astype(jnp.float32)
+                s_new = u["s_lane"] + done_now.astype(jnp.int32)
+                need_spawn = done_now & (s_new < spp_k[k])
+                fC = jnp.where(
+                    need_spawn, jnp.float32(FOLD_BIG),
+                    jnp.where(survive, cC, fC),
+                )
+                fB = jnp.where(
+                    need_spawn, 0.0, jnp.where(survive, cB, fB)
+                )
+                fW = jnp.where(
+                    need_spawn, 1.0, jnp.where(survive, cW, fW)
+                )
+                d_new = jnp.where(
+                    done_now, 0,
+                    jnp.where(survive, u["d_lane"] + 1, u["d_lane"]),
+                )
+                code = (
+                    (s_new << 6) | (d_new << 1) | survive.astype(jnp.int32)
+                )
+                rays = (
+                    rays
+                    + jnp.where(
+                        at_vertex, jnp.float32(n_dir_sample), 0.0
+                    )
+                    + survive_f
+                    + need_spawn.astype(jnp.float32)
+                )
+                new_state = new_state + d_n + hit_n + (
+                    code, fC, fB, fW, pend
+                )
+            return new_state + (rad, rays) + ((m0,) if use_env else ())
+
         total_iters = (
-            spp * jnp.int32(max_bounces + 1) + jnp.int32(unroll - 1)
+            spp_k[0] * jnp.int32(max_bounces + 1) + jnp.int32(unroll - 1)
         ) // jnp.int32(unroll)
         state = lax.fori_loop(0, total_iters, iter_body, state0)
-        rad, rays = state[7], state[8]
+        if merged and nsplit > 1:
+            base = nsplit * per_slot
+            rad, rays = state[base], state[base + 1]
+            m0_out = state[base + 2] if use_env else None
+        else:
+            rad, rays = state[7], state[8]
+            m0_out = state[9] if use_env else None
         out_ref[0, pl.ds(r0, CH_ROWS), :] = rad / spp_total.astype(
             jnp.float32
         )
         out_ref[1, pl.ds(r0, CH_ROWS), :] = rays
         if use_env:
-            out_ref[2, pl.ds(r0, CH_ROWS), :] = state[9]
+            out_ref[2, pl.ds(r0, CH_ROWS), :] = m0_out
         return 0
 
     lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -2602,6 +2946,19 @@ def trace_mega_block(
             os.environ.get(
                 "MCPT_MEGA_UNROLL", "2" if clustered else "8"
             )
+        ),
+        # In-lane sample interleave (SMEM merged path only): each lane
+        # carries `nsplit` independent path slots whose fans + next rays
+        # ride ONE fused table sweep — per-row scalar loads amortize over
+        # 2x the rays and per-trip framework over 2 vertices. Slot k owns
+        # samples k + v*nsplit, draws key on the actual sample id, so each
+        # sample's radiance is identical to the unsplit kernel (only the
+        # per-lane f32 accumulation order changes; MCPT_MEGA_SPLIT=1
+        # restores the single-slot kernel for bitwise cross-path tests).
+        nsplit=(
+            1
+            if clustered
+            else max(1, int(os.environ.get("MCPT_MEGA_SPLIT", "4")))
         ),
         cam=_cam_static(camera, tile),
     )
