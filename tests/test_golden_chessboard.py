@@ -165,3 +165,27 @@ def test_chessboard_sky_dof_blur_structure():
         fg = norm_sharp(img, int(h * 0.787), h)
         mid = norm_sharp(img, int(h * 0.417), int(h * 0.648))
         assert fg < 0.7 * mid, (name, fg, mid)
+
+
+def test_chessboard_high_tiles_structure():
+    """model_quality="high" artifact (296k tris, config_5: DoF + DLS=32)
+    structural check — the r5 artifact is rendered at spp>=64 through the
+    leaf-row-group clustered path (PERF.md "high quality" rows). Mirrors
+    the dark test's weak-anchor philosophy: the high meshes share the low
+    scene's layout, so the same content asymmetry must hold — lit
+    white-pawn band on the left of the geometry band, dark glass on the
+    right — and the render must carry real signal (not the near-black
+    spp-4 noise of the first recorded r4 run)."""
+    tiles_path = os.path.join(DATA, "chessboard_high_tiles.npy")
+    if not os.path.exists(tiles_path):
+        pytest.skip("high-quality TPU render artifact not available")
+    t = np.load(tiles_path)
+    assert t.shape == (13, 24, 3) and np.isfinite(t).all()
+    lum = t.mean(-1)
+    band = lum[4:10]
+    left = band[:, 2:10].mean()
+    right = band[:, 14:22].mean()
+    assert left > right, (left, right)
+    # real illumination signal: the lit band clearly above the background
+    top = lum[0:3].mean()
+    assert left > 2.0 * top, (left, top)
