@@ -825,3 +825,510 @@ def cluster_query_chunk(
         return nxt
 
     lax.while_loop(cond, body, jnp.int32(0))
+
+
+def cluster_fan_and_near(
+    cn_ref,
+    ct_ref,
+    cuv_ref,
+    sph_ref,
+    res_ref,
+    o_f,
+    ds,
+    dists,
+    o_n,
+    d_n,
+    *,
+    n_sph,
+    mask=None,
+    textured,
+    tpg=1,
+    groups=1,
+    fan_base=N_RES,
+):
+    """Fused NEE-fan occlusion + next-ray nearest hit in ONE tree walk
+    (the clustered analogue of megakernel._fan_and_nearest).
+
+    The regen iteration's two cluster walks — the S-ray shadow fan from the
+    current vertex (`cluster_occlude_fan`) and the next ray's nearest hit
+    (`cluster_query_chunk`) — traverse the SAME tree from nearly the same
+    origins, so their node sets overlap heavily. One walk over the union
+
+    - chases the threaded miss-links and fetches each node's 10 scalars
+      ONCE instead of twice,
+    - issues ONE vector→scalar rowgroup-mask sync per node instead of two
+      (the sync serializes the scalar core against the VPU — with the
+      shaft-culled fan the per-node vector work is small, so the sync is a
+      large fraction of every node step),
+    - shares each sphere row's scalar loads between the fan tests and the
+      nearest-t accumulation.
+
+    Per-(ray, primitive) arithmetic is copied verbatim from the two
+    standalone walks and every leaf predicate is exact, so over-visiting
+    (a node entered for the fan but not the nearest ray, or vice versa)
+    only adds tests that lose — results are bitwise-identical to the
+    two-walk schedule (MCPT_MEGA_ABLATE=unmerged restores it for A/Bs).
+
+    Fan blocked flags land in res_ref[fan_base + si]; nearest results in
+    res_ref[R_T..R_SPH] exactly like cluster_query_chunk(occlusion=False).
+    The nearest ray's per-node slab cull keeps its running-t bound
+    (Bounds3.hpp:95-108 semantics); the fan keeps the shaft-AABB scalar
+    prescreen — a node outside the shaft skips ALL fan vector work via a
+    zero rowgroup-mask branch, while the nearest slab still runs.
+    """
+    fo0, fo1, fo2 = o_f
+    no0, no1, no2 = o_n
+    nd0, nd1, nd2 = d_n
+    s_cnt = len(ds)
+    zero = jnp.zeros((CH_SUB, 128), jnp.float32)
+    for si in range(s_cnt):
+        res_ref[fan_base + si] = zero
+    xs = [
+        dists[si] - jnp.maximum(EPSILON, REL_EPS * dists[si])
+        for si in range(s_cnt)
+    ]
+    dinv = [
+        (1.0 / ds[si][0], 1.0 / ds[si][1], 1.0 / ds[si][2])
+        for si in range(s_cnt)
+    ]
+    ndinv0 = 1.0 / nd0
+    ndinv1 = 1.0 / nd1
+    ndinv2 = 1.0 / nd2
+    subl = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0)
+    rg_pow = jnp.exp2(
+        jax.lax.broadcasted_iota(jnp.int32, (CH_SUB, 1), 0).astype(jnp.float32)
+    )
+
+    # ---- shaft AABB over the fan's {origins} ∪ {targets} (see
+    # cluster_occlude_fan; mask excludes dead lanes' garbage origins)
+    big = jnp.float32(3.0e37)
+    if mask is None:
+        mask = jnp.ones_like(fo0) > 0.5
+    shaft_min = []
+    shaft_max = []
+    for k in range(3):
+        comps = [o_f[k]] + [
+            o_f[k] + ds[si][k] * dists[si] for si in range(s_cnt)
+        ]
+        lo = jnp.float32(big)
+        hi = jnp.float32(-big)
+        for c in comps:
+            lo = jnp.minimum(lo, jnp.min(jnp.where(mask, c, big)))
+            hi = jnp.maximum(hi, jnp.max(jnp.where(mask, c, -big)))
+        shaft_min.append(lo - EPSILON)
+        shaft_max.append(hi + EPSILON)
+
+    # ---- brute spheres: ONE loop seeds the nearest accumulators AND the
+    # fan blocked flags (per-row scalar loads shared; per-query math is
+    # verbatim cluster_query_chunk / cluster_occlude_fan)
+    a = nd0 * nd0 + nd1 * nd1 + nd2 * nd2
+    a_ok = a > 1e-12
+    a_safe = jnp.maximum(a, 1e-12)
+    t0 = jnp.full((CH_SUB, 128), T_MAX, jnp.float32)
+
+    def sphb(s, acc):
+        tb, sm, se, sx, sy, sz, sf = acc
+        cx = sph_ref[s, 0]
+        cy = sph_ref[s, 1]
+        cz = sph_ref[s, 2]
+        r = sph_ref[s, 3]
+        # nearest (general-a q-form, _sph_t_bundle math)
+        t_c = _sph_t_bundle(sph_ref, s, o_n, d_n, a_ok, a_safe)
+        bt = t_c < tb
+        # fan (unit dirs => a = 1)
+        l0 = fo0 - cx
+        l1 = fo1 - cy
+        l2 = fo2 - cz
+        cq = l0 * l0 + l1 * l1 + l2 * l2 - r * r
+        r_ok = r > 0.0
+        for si in range(s_cnt):
+            d0, d1, d2 = ds[si]
+            hb = d0 * l0 + d1 * l1 + d2 * l2
+            disc = hb * hb - cq
+            ok = (disc >= 0.0) & r_ok
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            q = jnp.where(hb > 0.0, -(hb + sq), -(hb - sq))
+            qs_ = jnp.where(jnp.abs(q) > 1e-10, q, 1.0)
+            lo = jnp.minimum(q, cq / qs_)
+            hi = jnp.maximum(q, cq / qs_)
+            t = jnp.where(lo < 0.0, hi, lo)
+            ok &= (t >= 0.0) & (t < xs[si])
+            res_ref[fan_base + si] = jnp.maximum(
+                res_ref[fan_base + si], ok.astype(jnp.float32)
+            )
+        return (
+            jnp.where(bt, t_c, tb),
+            jnp.where(bt, sph_ref[s, 4], sm),
+            jnp.where(bt, sph_ref[s, 5], se),
+            jnp.where(bt, cx, sx),
+            jnp.where(bt, cy, sy),
+            jnp.where(bt, cz, sz),
+            jnp.where(bt, 1.0, sf),
+        )
+
+    tb, sm, se, sx, sy, sz, sf = lax.fori_loop(
+        0, n_sph, sphb, (t0,) + (zero,) * 6
+    )
+    res_ref[R_T] = tb
+    res_ref[R_MAT] = sm
+    res_ref[R_EM] = se
+    res_ref[R_N0] = sx
+    res_ref[R_N1] = sy
+    res_ref[R_N2] = sz
+    res_ref[R_SPH] = sf
+    res_ref[R_UVX] = zero
+    res_ref[R_UVY] = zero
+
+    def leaf_near(rg, gbase):
+        # verbatim cluster_query_chunk.leaf_visit (occlusion=False)
+        ro0 = jax.lax.slice_in_dim(no0, rg, rg + 1, axis=0)
+        ro1 = jax.lax.slice_in_dim(no1, rg, rg + 1, axis=0)
+        ro2 = jax.lax.slice_in_dim(no2, rg, rg + 1, axis=0)
+        rd0 = jax.lax.slice_in_dim(nd0, rg, rg + 1, axis=0)
+        rd1 = jax.lax.slice_in_dim(nd1, rg, rg + 1, axis=0)
+        rd2 = jax.lax.slice_in_dim(nd2, rg, rg + 1, axis=0)
+        acc_t = res_ref[R_T, rg : rg + 1, :]
+        acc = {
+            k: res_ref[k, rg : rg + 1, :]
+            for k in (R_N0, R_N1, R_N2, R_MAT, R_EM, R_SPH, R_UVX, R_UVY)
+        }
+        for gg in range(groups):
+            blk = ct_ref[pl.ds((gbase + gg) * TILE, TILE), :]
+            if textured:
+                uvb = cuv_ref[pl.ds((gbase + gg) * TILE, TILE), :]
+            for j in range(tpg):
+                c = j * 16
+                dp2 = (
+                    rd0 * blk[:, c + 6 : c + 7]
+                    + rd1 * blk[:, c + 7 : c + 8]
+                    + rd2 * blk[:, c + 8 : c + 9]
+                )
+                op2 = (
+                    ro0 * blk[:, c + 6 : c + 7]
+                    + ro1 * blk[:, c + 7 : c + 8]
+                    + ro2 * blk[:, c + 8 : c + 9]
+                    - blk[:, c + 11 : c + 12]
+                )
+                nr2 = blk[:, c + 12 : c + 13]
+                det = -(dp2 * nr2)
+                okd = jnp.abs(det) >= EPSILON
+                t_hit = op2 * nr2 / jnp.where(okd, det, 1.0)
+                dp0 = (
+                    rd0 * blk[:, c + 0 : c + 1]
+                    + rd1 * blk[:, c + 1 : c + 2]
+                    + rd2 * blk[:, c + 2 : c + 3]
+                )
+                op0 = (
+                    ro0 * blk[:, c + 0 : c + 1]
+                    + ro1 * blk[:, c + 1 : c + 2]
+                    + ro2 * blk[:, c + 2 : c + 3]
+                    - blk[:, c + 9 : c + 10]
+                )
+                u = op0 + t_hit * dp0
+                dp1 = (
+                    rd0 * blk[:, c + 3 : c + 4]
+                    + rd1 * blk[:, c + 4 : c + 5]
+                    + rd2 * blk[:, c + 5 : c + 6]
+                )
+                op1 = (
+                    ro0 * blk[:, c + 3 : c + 4]
+                    + ro1 * blk[:, c + 4 : c + 5]
+                    + ro2 * blk[:, c + 5 : c + 6]
+                    - blk[:, c + 10 : c + 11]
+                )
+                v = op1 + t_hit * dp1
+                ok = (
+                    okd
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t_hit >= 0.0)
+                    & (blk[:, c + 13 : c + 14] > 0.5)
+                )
+                t_cand = jnp.where(ok, t_hit, T_MAX)
+                tmin8 = jnp.min(t_cand, axis=0, keepdims=True)
+                better = tmin8 < acc_t
+                is_min = t_cand == tmin8
+                pick = jnp.min(
+                    jnp.where(is_min, subl, jnp.int32(TILE)),
+                    axis=0,
+                    keepdims=True,
+                )
+                sel = (subl == pick).astype(jnp.float32)
+
+                def pick_col(col):
+                    return jnp.sum(sel * col, axis=0, keepdims=True)
+
+                s_nr = jnp.sqrt(jnp.maximum(nr2, 0.0))
+                acc_t = jnp.where(better, tmin8, acc_t)
+
+                def upd(k, val):
+                    acc[k] = jnp.where(better, val, acc[k])
+
+                upd(R_N0, pick_col(blk[:, c + 6 : c + 7] * s_nr))
+                upd(R_N1, pick_col(blk[:, c + 7 : c + 8] * s_nr))
+                upd(R_N2, pick_col(blk[:, c + 8 : c + 9] * s_nr))
+                upd(
+                    R_MAT,
+                    pick_col(
+                        jnp.broadcast_to(
+                            blk[:, c + 14 : c + 15], (TILE, 128)
+                        )
+                    ),
+                )
+                upd(
+                    R_EM,
+                    pick_col(
+                        jnp.broadcast_to(
+                            blk[:, c + 15 : c + 16], (TILE, 128)
+                        )
+                    ),
+                )
+                upd(R_SPH, jnp.zeros((1, 128), jnp.float32))
+                if textured:
+                    u_s = jnp.sum(sel * u, axis=0, keepdims=True)
+                    v_s = jnp.sum(sel * v, axis=0, keepdims=True)
+                    w_s = 1.0 - u_s - v_s
+
+                    def uv_col(cc):
+                        return pick_col(
+                            jnp.broadcast_to(
+                                uvb[:, j * 8 + cc : j * 8 + cc + 1],
+                                (TILE, 128),
+                            )
+                        )
+
+                    uvx = w_s * uv_col(0) + u_s * uv_col(2) + v_s * uv_col(4)
+                    uvy = w_s * uv_col(1) + u_s * uv_col(3) + v_s * uv_col(5)
+                    upd(R_UVX, uvx)
+                    upd(R_UVY, uvy)
+        res_ref[R_T, rg : rg + 1, :] = acc_t
+        for k in (R_N0, R_N1, R_N2, R_MAT, R_EM, R_SPH, R_UVX, R_UVY):
+            res_ref[k, rg : rg + 1, :] = acc[k]
+
+    def leaf_fan(rg, gbase, smask):
+        # verbatim cluster_occlude_fan.leaf_visit, rows at fan_base
+        ro0 = jax.lax.slice_in_dim(fo0, rg, rg + 1, axis=0)
+        ro1 = jax.lax.slice_in_dim(fo1, rg, rg + 1, axis=0)
+        ro2 = jax.lax.slice_in_dim(fo2, rg, rg + 1, axis=0)
+        for gg in range(groups):
+            blk = ct_ref[pl.ds((gbase + gg) * TILE, TILE), :]
+            for j in range(tpg):
+                c = j * 16
+                nr2 = blk[:, c + 12 : c + 13]
+                op2 = (
+                    ro0 * blk[:, c + 6 : c + 7]
+                    + ro1 * blk[:, c + 7 : c + 8]
+                    + ro2 * blk[:, c + 8 : c + 9]
+                    - blk[:, c + 11 : c + 12]
+                )
+                op0 = (
+                    ro0 * blk[:, c + 0 : c + 1]
+                    + ro1 * blk[:, c + 1 : c + 2]
+                    + ro2 * blk[:, c + 2 : c + 3]
+                    - blk[:, c + 9 : c + 10]
+                )
+                op1 = (
+                    ro0 * blk[:, c + 3 : c + 4]
+                    + ro1 * blk[:, c + 4 : c + 5]
+                    + ro2 * blk[:, c + 5 : c + 6]
+                    - blk[:, c + 10 : c + 11]
+                )
+                q = op2 * nr2
+                for si in range(s_cnt):
+
+                    @pl.when(((smask >> si) & 1) > 0)
+                    def _():
+                        d0 = jax.lax.slice_in_dim(
+                            ds[si][0], rg, rg + 1, axis=0
+                        )
+                        d1 = jax.lax.slice_in_dim(
+                            ds[si][1], rg, rg + 1, axis=0
+                        )
+                        d2 = jax.lax.slice_in_dim(
+                            ds[si][2], rg, rg + 1, axis=0
+                        )
+                        x_d = jax.lax.slice_in_dim(xs[si], rg, rg + 1, axis=0)
+                        dp2 = (
+                            d0 * blk[:, c + 6 : c + 7]
+                            + d1 * blk[:, c + 7 : c + 8]
+                            + d2 * blk[:, c + 8 : c + 9]
+                        )
+                        det = -(dp2 * nr2)
+                        dets = jnp.abs(det)
+                        qs = jnp.where(det < 0.0, -q, q)
+                        dp0 = (
+                            d0 * blk[:, c + 0 : c + 1]
+                            + d1 * blk[:, c + 1 : c + 2]
+                            + d2 * blk[:, c + 2 : c + 3]
+                        )
+                        u_s = op0 * dets + qs * dp0
+                        dp1 = (
+                            d0 * blk[:, c + 3 : c + 4]
+                            + d1 * blk[:, c + 4 : c + 5]
+                            + d2 * blk[:, c + 5 : c + 6]
+                        )
+                        v_s = op1 * dets + qs * dp1
+                        m = jnp.minimum(
+                            jnp.minimum(qs, dets - EPSILON),
+                            jnp.minimum(
+                                jnp.minimum(u_s, v_s), dets - (u_s + v_s)
+                            ),
+                        )
+                        blocked8 = (m >= 0.0) & (x_d * dets - qs > 0.0)
+                        hit_any = jnp.max(
+                            blocked8.astype(jnp.float32),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        cur = res_ref[fan_base + si, rg : rg + 1, :]
+                        res_ref[fan_base + si, rg : rg + 1, :] = jnp.maximum(
+                            cur, hit_any
+                        )
+    # ---- paired lockstep walk: the fan and the nearest query each chase
+    # their OWN node sequence (exactly the nodes the standalone walks
+    # visit — a union walk was measured 4.7% SLOWER: the fan points at the
+    # light while the bounce ray points elsewhere, so the union over-visits
+    # and every node pays both queries' vector work). Advancing both walks
+    # in one straight-line loop trip instead lets the two dependency
+    # chains interleave on the scalar core / VPU, and the two rowgroup
+    # masks ride ONE vector→scalar sync per trip (encoded in one scalar:
+    # low byte = nearest, high byte = fan): trips = max(N_fan, N_near)
+    # instead of N_fan + N_near at ~the per-trip cost of one walk. A walk
+    # that finishes first parks at node 0 with its effects masked until
+    # the other drains.
+
+    def _fetch(enc):
+        row = enc >> 7
+        c0 = enc & 127
+        return (
+            cn_ref[row, c0 + 0],
+            cn_ref[row, c0 + 1],
+            cn_ref[row, c0 + 2],
+            cn_ref[row, c0 + 3],
+            cn_ref[row, c0 + 4],
+            cn_ref[row, c0 + 5],
+            cn_ref[row, c0 + 6].astype(jnp.int32),
+            cn_ref[row, c0 + 7].astype(jnp.int32),
+            cn_ref[row, c0 + 8].astype(jnp.int32),
+            cn_ref[row, c0 + 9].astype(jnp.int32),
+        )
+
+    def cond(c):
+        return (c[0] >= 0) | (c[1] >= 0)
+
+    def body(c):
+        nf, nn = c
+        fval = nf >= 0
+        nval = nn >= 0
+        (fmn0, fmn1, fmn2, fmx0, fmx1, fmx2, fmiss, fhit_enc, fnt, ftb) = (
+            _fetch(jnp.maximum(nf, 0))
+        )
+        (mn0, mn1, mn2, mx0, mx1, mx2, miss, hit_enc, n_tiles, tbase) = (
+            _fetch(jnp.maximum(nn, 0))
+        )
+
+        # nearest-ray slab with running-t cull (Bounds3.hpp:95-108)
+        va0 = (mn0 - no0) * ndinv0
+        vb0 = (mx0 - no0) * ndinv0
+        va1 = (mn1 - no1) * ndinv1
+        vb1 = (mx1 - no1) * ndinv1
+        va2 = (mn2 - no2) * ndinv2
+        vb2 = (mx2 - no2) * ndinv2
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(va0, vb0), jnp.minimum(va1, vb1)),
+            jnp.minimum(va2, vb2),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(va0, vb0), jnp.maximum(va1, vb1)),
+            jnp.maximum(va2, vb2),
+        )
+        tb2 = res_ref[R_T]
+        hit_n = (
+            (tmin - EPSILON <= tmax)
+            & (tmax >= -EPSILON)
+            & (tmin - EPSILON <= tb2)
+        )
+        rg_near = jnp.max(
+            hit_n.astype(jnp.float32), axis=1, keepdims=True
+        ) * jnp.where(nval, 1.0, 0.0)
+
+        # fan slabs, masked by the scalar shaft prescreen (a node disjoint
+        # from the fan's shaft AABB cannot contain a blocker; computing the
+        # slabs unconditionally keeps the body straight-line — the union
+        # descent rarely reaches shaft-culled nodes anyway)
+        shaft_ok = (
+            fval
+            & (fmn0 <= shaft_max[0])
+            & (fmx0 >= shaft_min[0])
+            & (fmn1 <= shaft_max[1])
+            & (fmx1 >= shaft_min[1])
+            & (fmn2 <= shaft_max[2])
+            & (fmx2 >= shaft_min[2])
+        )
+        rg_fan = jnp.zeros((CH_SUB, 1), jnp.float32)
+        for si in range(s_cnt):
+            iv0, iv1, iv2 = dinv[si]
+            fa0 = (fmn0 - fo0) * iv0
+            fb0 = (fmx0 - fo0) * iv0
+            fa1 = (fmn1 - fo1) * iv1
+            fb1 = (fmx1 - fo1) * iv1
+            fa2 = (fmn2 - fo2) * iv2
+            fb2 = (fmx2 - fo2) * iv2
+            ftmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(fa0, fb0), jnp.minimum(fa1, fb1)),
+                jnp.minimum(fa2, fb2),
+            )
+            ftmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(fa0, fb0), jnp.maximum(fa1, fb1)),
+                jnp.maximum(fa2, fb2),
+            )
+            live = res_ref[fan_base + si] < 0.5
+            hit = (
+                (ftmin - EPSILON <= ftmax)
+                & (ftmax >= -EPSILON)
+                & (ftmin - EPSILON <= xs[si])
+                & live
+            )
+            rg_si = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+            rg_fan = jnp.maximum(rg_fan, rg_si)
+        rg_fan = rg_fan * jnp.where(shaft_ok, 1.0, 0.0)
+
+        # ONE sync for both walks: low byte = nearest mask, high = fan mask
+        rgm = jnp.sum(
+            (rg_near + 256.0 * rg_fan) * rg_pow
+        ).astype(jnp.int32)
+        m_near = rgm & 255
+        m_fan = rgm >> 8
+        any_n = m_near > 0
+        any_f = m_fan > 0
+        leaf_n = n_tiles > 0
+        leaf_f = fnt > 0
+        smask = jnp.int32(-1 if s_cnt >= 32 else (1 << s_cnt) - 1)
+
+        @pl.when(any_n & leaf_n)
+        def _():
+            for rg in range(CH_SUB):
+
+                @pl.when(((m_near >> rg) & 1) > 0)
+                def _():
+                    leaf_near(rg, tbase)
+
+        @pl.when(any_f & leaf_f)
+        def _():
+            for rg in range(CH_SUB):
+
+                @pl.when(((m_fan >> rg) & 1) > 0)
+                def _():
+                    leaf_fan(rg, ftb, smask)
+
+        nxt_n = jnp.where(
+            nval, jnp.where(any_n & (n_tiles == 0), hit_enc, miss), -1
+        )
+        nxt_f = jnp.where(
+            fval, jnp.where(any_f & (fnt == 0), fhit_enc, fmiss), -1
+        )
+        return (nxt_f, nxt_n)
+
+    lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))

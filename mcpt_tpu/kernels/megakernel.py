@@ -72,6 +72,7 @@ from mcpt_tpu.kernels.cluster import (
     R_T,
     R_UVX,
     R_UVY,
+    cluster_fan_and_near,
     cluster_occlude_fan,
     cluster_query_chunk,
 )
@@ -1416,7 +1417,12 @@ def _make_intersect_fns(
         def occlude_fan(o, ds, dists, mask=None):
             return [(o[0] * 0.0 + 1.0) > 0.5 for _ in ds]
 
-        return isect, occlude_fan
+        def fan_near(fans, nexts, masks=None):
+            vis_l = [occlude_fan(o_f, ds, dists) for (o_f, ds, dists) in fans]
+            hit_l = [isect(o, d) for (o, d) in nexts]
+            return vis_l, hit_l
+
+        return isect, occlude_fan, fan_near
     if not clustered:
 
         def isect(o, d):
@@ -1431,25 +1437,18 @@ def _make_intersect_fns(
                 occ_ref, sph_ref, n_occ, n_sph, o, ds, dists
             )
 
-        return isect, occlude_fan
+        def fan_near(fans, nexts, masks=None):
+            return _fan_and_nearest(
+                tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph,
+                fans, nexts, textured=any_textured,
+            )
+
+        return isect, occlude_fan, fan_near
 
     tpg = ct_ref.shape[1] // 16  # leaf-row-group tiles per block
 
-    def isect(o, d):
-        cluster_query_chunk(
-            cn_ref,
-            ct_ref,
-            cuv_ref,
-            sph_ref,
-            res_ref,
-            o,
-            d,
-            n_sph=n_sph,
-            occlusion=False,
-            textured=any_textured,
-            tpg=tpg,
-            groups=cl_groups,
-        )
+    def _read_hit(o, d):
+        # materialize the fused hit tuple from the nearest-query result rows
         t = res_ref[R_T]
         happened = t < T_MAX
         t_eff = jnp.where(happened, t, 0.0)
@@ -1467,6 +1466,67 @@ def _make_intersect_fns(
         uv = (res_ref[R_UVX], res_ref[R_UVY])
         return t, happened, p, n, uv, res_ref[R_MAT], res_ref[R_EM] > 0.5
 
+    def isect(o, d):
+        cluster_query_chunk(
+            cn_ref,
+            ct_ref,
+            cuv_ref,
+            sph_ref,
+            res_ref,
+            o,
+            d,
+            n_sph=n_sph,
+            occlusion=False,
+            textured=any_textured,
+            tpg=tpg,
+            groups=cl_groups,
+        )
+        return _read_hit(o, d)
+
+    def fan_near(fans, nexts, masks=None):
+        # fused paired-walk fan + nearest (cluster.cluster_fan_and_near).
+        # Multi-slot (nsplit interleave) runs one fused walk per slot
+        # sequentially and materializes each slot's results (ref reads are
+        # value copies) before the next slot's walk reuses res_ref — the
+        # r5 clean probes measured the walks at ~0% of kernel time, so
+        # slot interleave buys vertex/framework amortization, not walk
+        # sharing.
+        vis_l = []
+        hit_l = []
+        for k in range(len(nexts)):
+            o_f, ds, dists = fans[k]
+            o_n, d_n = nexts[k]
+            if "novisfan" in ablate:
+                # timing probe: skip the fan walk, force full visibility.
+                # The fan result feeds only radiance (never path
+                # decisions: RR, bounce dirs and hits are fan-independent)
+                # so iteration counts and traversal are EXACTLY those of
+                # the real render — the control-minus-novisfan delta is
+                # the fan walk's true cost.
+                vis_l.append([(o_f[0] * 0.0 + 1.0) > 0.5 for _ in ds])
+                hit_l.append(isect(o_n, d_n))
+                continue
+            reps = 2 if "pair2x" in ablate else 1
+            for _ in range(reps):
+                # "pair2x" timing probe: run the paired walk twice (the
+                # second pass recomputes identical results) — the delta
+                # over control is the full fan+nearest walk cost with
+                # unchanged paths.
+                cluster_fan_and_near(
+                    cn_ref, ct_ref, cuv_ref, sph_ref, res_ref,
+                    o_f, ds, dists, o_n, d_n,
+                    n_sph=n_sph,
+                    mask=masks[k] if masks else None,
+                    textured=any_textured,
+                    tpg=tpg,
+                    groups=cl_groups,
+                )
+            vis_l.append(
+                [res_ref[N_RES + si] < 0.5 for si in range(len(ds))]
+            )
+            hit_l.append(_read_hit(o_n, d_n))
+        return vis_l, hit_l
+
     def occlude_fan(o, ds, dists, mask=None):
         # single-walk robust fan (see cluster.cluster_occlude_fan): one
         # traversal for all S samples, "any blocker at t < dist − ε"
@@ -1478,7 +1538,7 @@ def _make_intersect_fns(
             mask=mask, tpg=tpg, groups=cl_groups,
         )
 
-    return isect, occlude_fan
+    return isect, occlude_fan, fan_near
 
 
 def _mega_kernel(
@@ -1593,7 +1653,7 @@ def _mega_kernel(
             "is_g": (chan == 1).astype(jnp.float32),
             "is_b": (chan == 2).astype(jnp.float32),
         }
-        _isect, _ofan = _make_intersect_fns(
+        _isect, _ofan, _fan_near = _make_intersect_fns(
             tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
             n_tris, n_occ, n_sph, clustered, any_textured, ablate=ablate,
             cl_groups=cl_groups,
@@ -1841,15 +1901,12 @@ def _mega_kernel_regen(
     spp = scal_ref[0, 2]
     lane_stride = scal_ref[0, 3]
     spp_total = scal_ref[0, 4]
-    # SMEM brute-force scenes fuse the shadow fan + next-ray intersect
-    # into ONE table sweep per vertex (_fan_and_nearest); clustered
-    # scenes keep the two-walk schedule (their sweeps are tree walks,
-    # not table scans), and isect-ablated probes need the stub intersect.
+    # The fan + next-ray intersect fuse into ONE sweep per vertex: SMEM
+    # scenes via the merged table sweep (_fan_and_nearest), clustered
+    # scenes via the merged single tree walk (cluster_fan_and_near).
     # MCPT_MEGA_ABLATE=unmerged restores the two-sweep schedule for A/Bs
     # (bitwise-identical output either way).
-    merged = (
-        not clustered and "isect" not in ablate and "unmerged" not in ablate
-    )
+    merged = "unmerged" not in ablate
     # in-lane sample interleave slots: merged path only
     if not merged:
         nsplit = 1
@@ -1919,7 +1976,7 @@ def _mega_kernel_regen(
             "is_g": (chan == 1).astype(jnp.float32),
             "is_b": (chan == 2).astype(jnp.float32),
         }
-        _isect, _ofan = _make_intersect_fns(
+        _isect, _ofan, _fan_near = _make_intersect_fns(
             tri_ref, occ_ref, sph_ref, cn_ref, ct_ref, cuv_ref, res_ref,
             n_tris, n_occ, n_sph, clustered, any_textured, ablate=ablate,
             cl_groups=cl_groups,
@@ -2144,15 +2201,14 @@ def _mega_kernel_regen(
                 # (VERDICT r4: the two sweeps shared per-primitive loop
                 # machinery and sphere-row loads — pay them once).
                 if enable_shadow and V["samples"]:
-                    vis_l, hit_l = _fan_and_nearest(
-                        tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph,
+                    vis_l, hit_l = _fan_near(
                         [(
                             V["p_dl"],
                             [s_[0] for s_ in V["samples"]],
                             [s_[1] for s_ in V["samples"]],
                         )],
                         [(o_n, d_n)],
-                        textured=any_textured,
+                        masks=[happened],
                     )
                     vis, hit_t = vis_l[0], hit_l[0]
                 else:
@@ -2505,9 +2561,9 @@ def _mega_kernel_regen(
                     nxts.append((o_n, d_n))
                     mids.append((V, at_vertex, survive, capped))
                 if enable_shadow and n_dir_sample > 0 and n_emitters > 0:
-                    vis_l, hit_l = _fan_and_nearest(
-                        tri_ref, occ_ref, sph_ref, n_tris, n_occ, n_sph,
-                        fans, nxts, textured=any_textured,
+                    vis_l, hit_l = _fan_near(
+                        fans, nxts,
+                        masks=[U[k]["happened"] for k in range(nsplit)],
                     )
                 else:
                     vis_l = [None] * nsplit
@@ -2947,18 +3003,24 @@ def trace_mega_block(
                 "MCPT_MEGA_UNROLL", "2" if clustered else "8"
             )
         ),
-        # In-lane sample interleave (SMEM merged path only): each lane
-        # carries `nsplit` independent path slots whose fans + next rays
-        # ride ONE fused table sweep — per-row scalar loads amortize over
-        # 2x the rays and per-trip framework over 2 vertices. Slot k owns
-        # samples k + v*nsplit, draws key on the actual sample id, so each
-        # sample's radiance is identical to the unsplit kernel (only the
-        # per-lane f32 accumulation order changes; MCPT_MEGA_SPLIT=1
-        # restores the single-slot kernel for bitwise cross-path tests).
-        nsplit=(
-            1
-            if clustered
-            else max(1, int(os.environ.get("MCPT_MEGA_SPLIT", "4")))
+        # In-lane sample interleave: each lane carries `nsplit` independent
+        # path slots. SMEM scenes ride ONE fused table sweep (per-row
+        # scalar loads amortize over 2x the rays); clustered scenes run one
+        # paired tree walk per slot (the r5 clean probes measured the
+        # walks at ~0% of kernel time) — in both cases the per-trip
+        # framework and the vertex block's fixed costs amortize over
+        # `nsplit` vertices. Slot k owns samples k + v*nsplit, draws key
+        # on the actual sample id, so each sample's radiance is identical
+        # to the unsplit kernel (only the per-lane f32 accumulation order
+        # changes; MCPT_MEGA_SPLIT=1 restores the single-slot kernel for
+        # bitwise cross-path tests).
+        nsplit=max(
+            1,
+            int(
+                os.environ.get(
+                    "MCPT_MEGA_SPLIT", "1" if clustered else "4"
+                )
+            ),
         ),
         cam=_cam_static(camera, tile),
     )
@@ -2981,9 +3043,18 @@ def trace_mega_block(
                 (1 if regen else max_bounces, 3, CH_ROWS, LANE), jnp.float32
             ),
             # the clustered occlusion fan parks one blocked-plane per NEE
-            # sample in res_ref, so it needs >= n_dir_sample rows
+            # sample in res_ref; the merged single-walk regen path keeps
+            # the fan rows (offset N_RES) live alongside the nearest-query
+            # result rows, so clustered scenes need N_RES + n_dir_sample
             pltpu.VMEM(
-                (max(_N_RES, pack.n_dir_sample), CH_ROWS, LANE), jnp.float32
+                (
+                    _N_RES + pack.n_dir_sample
+                    if pack.n_cl_nodes
+                    else max(_N_RES, pack.n_dir_sample),
+                    CH_ROWS,
+                    LANE,
+                ),
+                jnp.float32,
             ),
         ],
         interpret=interpret,

@@ -512,3 +512,53 @@ def test_mega_stream_split_equivalent(monkeypatch):
     assert float((diff.max(-1) > 1e-3).mean()) < 0.01
     assert abs(float(img1.mean() - img4.mean())) < 5e-3
     assert st1["rays"] == st4["rays"]
+
+
+def test_mega_clustered_merged_walk_bitwise(monkeypatch):
+    """The clustered regen kernel fuses the NEE fan + next-ray nearest hit
+    into ONE tree walk (cluster.cluster_fan_and_near). Per-(ray, primitive)
+    arithmetic is verbatim from the two standalone walks, every leaf
+    predicate is exact, and DFS visit order is preserved — so over-visits
+    from the union descent only add losing candidates and the output must
+    be BITWISE equal to the two-walk schedule (MCPT_MEGA_ABLATE=unmerged),
+    not merely statistically close."""
+    sc = demo_scene()
+    pack = sc.compile(cluster_threshold=8)
+    assert pack.n_cl_nodes > 0
+    cam = dataclasses.replace(sc.camera, width=33, height=21)
+
+    monkeypatch.setenv("MCPT_MEGA_ABLATE", "unmerged")
+    img_u, st_u = render_mega(
+        pack, cam, spp=4, seed=7, max_bounces=4, interpret=True
+    )
+    monkeypatch.delenv("MCPT_MEGA_ABLATE")
+    img_m, st_m = render_mega(
+        pack, cam, spp=4, seed=7, max_bounces=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(img_m), np.asarray(img_u))
+    assert st_m["rays"] == st_u["rays"]
+
+
+def test_mega_clustered_nsplit_equivalent(monkeypatch):
+    """Clustered in-lane interleave (MCPT_MEGA_SPLIT=2 on a clustered
+    scene): slot k renders samples k + v*2 through its own paired
+    fan+nearest walk; draws key on the actual sample id, so the sample SET
+    is identical to the single-slot kernel and the image matches except
+    per-lane f32 accumulation order."""
+    sc = demo_scene()
+    pack = sc.compile(cluster_threshold=8)
+    assert pack.n_cl_nodes > 0
+    cam = dataclasses.replace(sc.camera, width=33, height=21)
+
+    monkeypatch.setenv("MCPT_MEGA_SPLIT", "1")
+    img1, st1 = render_mega(
+        pack, cam, spp=4, seed=9, max_bounces=4, interpret=True
+    )
+    monkeypatch.setenv("MCPT_MEGA_SPLIT", "2")
+    img2, st2 = render_mega(
+        pack, cam, spp=4, seed=9, max_bounces=4, interpret=True
+    )
+    diff = np.abs(np.asarray(img1) - np.asarray(img2))
+    assert float((diff.max(-1) > 1e-3).mean()) < 0.01, diff.max()
+    assert abs(float(img1.mean() - img2.mean())) < 5e-3
+    assert st1["rays"] == st2["rays"]
