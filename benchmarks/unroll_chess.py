@@ -29,7 +29,13 @@ def main():
     ap.add_argument("--mb", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--unrolls", default="2,4,8")
+    ap.add_argument(
+        "--split", type=int, default=0,
+        help="MCPT_MEGA_SPLIT for every point (0 = leave default)",
+    )
     args = ap.parse_args()
+    if args.split:
+        os.environ["MCPT_MEGA_SPLIT"] = str(args.split)
 
     import jax
 

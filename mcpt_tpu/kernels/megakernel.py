@@ -2995,12 +2995,15 @@ def trace_mega_block(
         ),
         # SMEM scenes profit from deep unrolling once the fused sweep slims
         # the loop body (r5 sweep at 1080p spp512: u2 7.05e8, u4 ~7.1e8,
-        # u8 7.71e8 rays/s); clustered walks keep u2 — their body is ~all
-        # of the cluster walk, so unrolling multiplies SMEM program size
-        # for machinery that is already <1% of the iteration.
+        # u8 7.71e8 rays/s). Clustered scenes: the r5 clean probes showed
+        # the walks cost ~0% — the iteration is bound by per-vertex VPU
+        # math + framework, which unrolling amortizes: the 960x540 spp256
+        # chessboard sweep measured u4 ~5-7% over u2 in every window (u8
+        # within noise of u4 but doubles program size), so clustered
+        # defaults to u4.
         unroll=int(
             os.environ.get(
-                "MCPT_MEGA_UNROLL", "2" if clustered else "8"
+                "MCPT_MEGA_UNROLL", "4" if clustered else "8"
             )
         ),
         # In-lane sample interleave: each lane carries `nsplit` independent
