@@ -96,6 +96,11 @@ def pick_leaf_size(n_tris: int) -> int:
         # measured leaf 16 fastest (13.5e6 rays/s vs 11.1e6 at 64 and
         # ~10e6 at 8): coherent rowgroups reach few leaves, so per-leaf
         # tile work outweighs the extra serial node steps until leaf 8.
+        # Mid-scale validation (benchmarks/midscale.py, r5): at 50k tris
+        # leaf 16/32/64 are indistinguishable within the spp-16 probe's
+        # noise; at 132k tris leaf 32 (the heuristic's pick) beat leaf 64
+        # ~2x in both measured windows — smallest-fitting is confirmed at
+        # both mid-scale endpoints.
         # Leaf 128's small-lane-count compiles also wedge the remote
         # Mosaic service in this image — it is only ever a last resort.
         # median-split builds ~2*ceil(T/leaf)-1 nodes, leaves 60-100% full.
