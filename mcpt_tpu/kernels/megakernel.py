@@ -123,6 +123,16 @@ _U = jnp.uint32
 # identity to measure the RNG's share of kernel time (draw values still vary
 # via the multiplicative key mix, but are NOT uniform-quality).
 _RNG_CHEAP = "rng" in os.environ.get("MCPT_MEGA_ABLATE", "")
+# r5 experiment: select-before-compute BSDF eval — ONE half-vector
+# normalize + ONE full Fresnel per eval instead of two of each
+# (bitwise-identical output; −19% of _eval_bsdf's jaxpr primitives, −24% of
+# its sqrt/rsqrt/div). Measured NEUTRAL-to-−1% on both kernels
+# (benchmarks/evalfuse_chess.py: demo 0.99x, clustered within drift noise):
+# the VPU has spare issue slots in this kernel, and selecting the candidate
+# first SERIALIZES work the two-normalize form issued in parallel — op
+# count is not the bound here (see PERF.md "eval fusion"). Default stays
+# the measured-headline program; =1 enables the fused form.
+_EVAL_FUSED = os.environ.get("MCPT_EVAL_FUSED", "0") != "0"
 
 
 def _murmur(x):
@@ -1026,6 +1036,10 @@ def _eval_bsdf(m, ior, refl, wi, wo, n, is_reflect):
     reflect/refract branch *before* the expensive D/G1/Fresnel terms — the
     unselected branch's value is never read, so one D, two G1 and two
     Fresnel evaluations replace the reference's 2/4/4 with identical output.
+    MCPT_EVAL_FUSED=1 pushes the same trick one level further (select the
+    half-vector candidate before NORMALIZING, and the Fresnel normal by the
+    rough/smooth material select: one normalize + one Fresnel, still
+    bitwise-identical) — measured neutral on both kernels, see _EVAL_FUSED.
     """
     win = _dot(wi, n)
     won = _dot(wo, n)
@@ -1035,15 +1049,36 @@ def _eval_bsdf(m, ior, refl, wi, wo, n, is_reflect):
     nwi = _neg(wi)
     conductor = _is_conductor(m["mtype"])
 
-    h_r = _half_reflect(wi, wo, n)
+    rough_m = _is_rough(m["mtype"])
     hv = _sub(nwi, _scale(wo, eta))
-    h_t0 = _normalize(hv)
-    h_t = _where3(_dot(h_t0, n) > 0.0, h_t0, _neg(h_t0))
-    h = _where3(is_reflect, h_r, h_t)
+    if _EVAL_FUSED:
+        # Select the half-vector CANDIDATE before normalizing: the reflect
+        # and refract half-vectors differ only pre-normalization (wi+wo vs
+        # −wi−η·wo), so one normalize + one sign-fix replaces two of each
+        # (bitwise-identical per lane — the unselected candidate was never
+        # read). Same trick as selecting h before D/G1/F.
+        h0 = _normalize(_where3(is_reflect, _add(wi, wo), hv))
+        # (bool-valued jnp.where lowers to an i8->i1 trunci Mosaic rejects)
+        keep = (is_reflect & (win > 0.0)) | (~is_reflect & (_dot(h0, n) > 0.0))
+        h = _where3(keep, h0, _neg(h0))
+    else:  # MCPT_EVAL_FUSED=0: pre-r5-final two-normalize form (perf A/B)
+        h_r = _half_reflect(wi, wo, n)
+        h_t0 = _normalize(hv)
+        h_t = _where3(_dot(h_t0, n) > 0.0, h_t0, _neg(h_t0))
+        h = _where3(is_reflect, h_r, h_t)
 
     d_h = _d_ggx(h, n, alpha)
     g_h = _g1(wi, h, alpha) * _g1(wo, h, alpha)
-    f_h = _fresnel(m, ior, nwi, h)  # conductors → 1
+    # ONE full unpolarized Fresnel instead of two: the rough branches read
+    # it at the microfacet normal h, the smooth (Dirac) branches at the
+    # macro normal n, and the final material select (`_is_rough`) only ever
+    # reads one of them per lane — so evaluate at the per-lane selected
+    # normal. Bitwise-identical; saves ~25 VPU ops per eval × 5 evals/vertex.
+    if _EVAL_FUSED:
+        f_u = _fresnel(m, ior, nwi, _where3(rough_m, h, n))  # conductors → 1
+    else:
+        f_u = None
+    f_h = f_u if _EVAL_FUSED else _fresnel(m, ior, nwi, h)
 
     # rough reflect (valid only on is_reflect lanes, where h == h_r)
     f_r = jnp.where(conductor, _fresnel_schlick(jnp.abs(_dot(h, wo)), refl), f_h)
@@ -1062,9 +1097,9 @@ def _eval_bsdf(m, ior, refl, wi, wo, n, is_reflect):
         conductor | same_side | (win * won == 0.0), 0.0, rough_refract
     )
 
-    # smooth (Dirac) branches share one Fresnel at the macro normal
+    # smooth (Dirac) branches: f_u was evaluated at n on smooth lanes
     aligned = _dot(h, n) >= 1.0 - EPSILON
-    f_sm = _fresnel(m, ior, nwi, n)
+    f_sm = f_u if _EVAL_FUSED else _fresnel(m, ior, nwi, n)
     smooth_reflect = jnp.where(
         same_side & aligned,
         jnp.where(conductor, _fresnel_schlick(jnp.abs(won), refl), f_sm),
@@ -1078,7 +1113,7 @@ def _eval_bsdf(m, ior, refl, wi, wo, n, is_reflect):
 
     rough = jnp.where(is_reflect, rough_reflect, rough_refract)
     smooth = jnp.where(is_reflect, smooth_reflect, smooth_refract)
-    return jnp.where(_is_rough(m["mtype"]), rough, smooth)
+    return jnp.where(rough_m, rough, smooth)
 
 
 def _pdf(m, ior, wi, wo, n, is_reflect):
