@@ -65,6 +65,21 @@ def test_mega_matches_wavefront_mean(pack, cam, ref_img, regen):
     assert stats["rays"] <= lanes * SPP * (1 + 5 * MB)
 
 
+def test_mega_eval_fused_bitwise(pack, cam, monkeypatch):
+    """MCPT_EVAL_FUSED=1 (select-before-compute half-vector normalize +
+    single Fresnel in _eval_bsdf) must be BITWISE-identical to the default
+    two-normalize/two-Fresnel form — the unselected candidate is never
+    read (megakernel.py _EVAL_FUSED; measured perf-neutral, PERF.md
+    'eval fusion')."""
+    from mcpt_tpu.kernels import megakernel as mk
+
+    monkeypatch.setattr(mk, "_EVAL_FUSED", False)
+    a, _ = render_mega(pack, cam, spp=4, seed=9, max_bounces=3, interpret=True)
+    monkeypatch.setattr(mk, "_EVAL_FUSED", True)
+    b, _ = render_mega(pack, cam, spp=4, seed=9, max_bounces=3, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mega_deterministic(pack, cam):
     a, _ = render_mega(
         pack, cam, spp=2, seed=3, max_bounces=2, interpret=True
