@@ -33,6 +33,11 @@ def main():
         "--split", type=int, default=0,
         help="MCPT_MEGA_SPLIT for every point (0 = leave default)",
     )
+    ap.add_argument(
+        "--splits", default="",
+        help="interleave-sweep MCPT_MEGA_SPLIT at the FIRST --unrolls value "
+        "(e.g. --unrolls 4 --splits 1,2); overrides --split",
+    )
     args = ap.parse_args()
     if args.split:
         os.environ["MCPT_MEGA_SPLIT"] = str(args.split)
@@ -53,10 +58,16 @@ def main():
     pack = sc.compile()
 
     unrolls = [int(u) for u in args.unrolls.split(",")]
-    times = {u: [] for u in unrolls}
+    if args.splits:
+        points = [(unrolls[0], int(s)) for s in args.splits.split(",")]
+    else:
+        points = [(u, args.split) for u in unrolls]
+    times = {p: [] for p in points}
     for rep in range(args.reps):
-        for u in unrolls:
+        for u, s in points:
             os.environ["MCPT_MEGA_UNROLL"] = str(u)
+            if s:
+                os.environ["MCPT_MEGA_SPLIT"] = str(s)
             if rep == 0:
                 mk.render_mega(
                     pack, sc.camera, args.spp, seed=0, max_bounces=args.mb
@@ -66,27 +77,28 @@ def main():
                 pack, sc.camera, args.spp, seed=1 + rep, max_bounces=args.mb
             )
             dt = time.monotonic() - t0
-            times[u].append(dt)
+            times[(u, s)].append(dt)
             print(
                 json.dumps(
-                    {"metric": "chess_unroll", "unroll": u, "rep": rep,
-                     "elapsed_s": round(dt, 3),
+                    {"metric": "chess_unroll", "unroll": u, "split": s,
+                     "rep": rep, "elapsed_s": round(dt, 3),
                      "rays_per_s": round(stats["rays_per_s"], 1)}
                 ),
                 flush=True,
             )
-    for u in unrolls:
-        med = sorted(times[u])[args.reps // 2]
+    for u, s in points:
+        t = times[(u, s)]
+        med = sorted(t)[args.reps // 2]
         print(
             json.dumps(
-                {"metric": "chess_unroll_median", "unroll": u,
+                {"metric": "chess_unroll_median", "unroll": u, "split": s,
                  "median_s": round(med, 3),
-                 "spread_pct": round(
-                     100.0 * (max(times[u]) - min(times[u])) / med, 1)}
+                 "spread_pct": round(100.0 * (max(t) - min(t)) / med, 1)}
             ),
             flush=True,
         )
     os.environ.pop("MCPT_MEGA_UNROLL", None)
+    os.environ.pop("MCPT_MEGA_SPLIT", None)
 
 
 if __name__ == "__main__":
